@@ -1,0 +1,60 @@
+"""Text column functions — JVM-side expressions, shared with the DuckDB oracle.
+
+The exact-parity tokenizer (Python ``re``, app.py:213) lives in
+``core.oracle`` and runs inside the Arrow UDF path.  The expressions here are
+the *SQL-expressible twin*: an ASCII-explicit pattern whose semantics are
+identical in Java regex (Spark) and RE2 (DuckDB), and — on ASCII corpora like
+the driver testdata — identical to the Python pattern as well (asserted by
+tests/test_tokenizer_parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ASCII-explicit twin of r"\b\w+(?:-\w+)*\b|[^\w\s]" (app.py:213).
+# Word chars and whitespace are spelled out so Java regex and RE2 agree.
+SQL_TOKEN_PATTERN = r"[A-Za-z0-9_]+(?:-[A-Za-z0-9_]+)*|[^A-Za-z0-9_ \t\n\r]"
+
+# Stopword set for quality scoring (deterministic, tiny; P9-style filter
+# lists in the reference: utils/fonctionsFaxtText.py:553-562)
+STOPWORDS = (
+    "the", "a", "an", "of", "in", "to", "and", "or", "is", "was", "with",
+    "for", "on", "at", "by", "from", "which", "this", "that",
+)
+
+
+def tokenize_expr(col: str | Column) -> Column:
+    """ARRAY<STRING> of tokens — JVM-side, whole-stage-codegen friendly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(SQL_TOKEN_PATTERN), 0)
+
+
+def tokenize_sql(col: str) -> str:
+    """Same tokenizer as raw SQL text (works in Spark SQL and DuckDB)."""
+    return f"regexp_extract_all({col}, '{SQL_TOKEN_PATTERN}')"
+
+
+def is_digit_expr(col: Column) -> Column:
+    """SQL twin of Python str.isdigit for ASCII tokens (app.py:229)."""
+    return col.rlike("^[0-9]+$")
+
+
+def punct_ratio_expr(tokens: Column) -> Column:
+    """Fraction of tokens that are punctuation."""
+    n_punct = F.size(F.filter(tokens, lambda t: ~t.rlike("^[A-Za-z0-9_-]+$")))
+    return n_punct / F.greatest(F.size(tokens), F.lit(1))
+
+
+def stopword_ratio_expr(tokens: Column) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(tokens, lambda t: F.array_contains(sw, F.lower(t))))
+    return n_sw / F.greatest(F.size(tokens), F.lit(1))
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the normalized token
+    stream (lowercased, single-space joined). Cross-engine stable."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(SQL_TOKEN_PATTERN), 0)
+    return F.md5(F.concat_ws(" ", toks))

@@ -1,0 +1,138 @@
+"""Corpus/entity statistics operators (SURVEY.md §2.4 A1-A13).
+
+All pure DataFrame aggregations — partial/final hash aggregation, column
+pruning and predicate pushdown come free from Catalyst.  Floating-point
+outputs are rounded to 6 dp so the DuckDB oracle hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..lexicon import entity_name_case_sql
+
+
+def entity_type_counts(mentions_df: DataFrame) -> DataFrame:
+    """A4 — flagship: entities per friendly type name (app.py:851-854)."""
+    return (
+        mentions_df
+        .select(F.expr(entity_name_case_sql("type")).alias("entity_type"))
+        .groupBy("entity_type")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+    )
+
+
+def tag_distribution(tags_df: DataFrame) -> DataFrame:
+    """A5 — histogram of non-O tags over all tokens (app.py:857-860)."""
+    return (
+        tags_df.filter(~F.col("tag").isin("O", "<PAD>"))
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+
+
+def entity_length_stats(mentions_df: DataFrame) -> DataFrame:
+    """A6 — per-type token-length stats (app.py:894, app.py:1250-1259).
+
+    Uses exact percentile (not approx) so DuckDB's median agrees exactly.
+    """
+    m = mentions_df.withColumn("n_tokens", F.size("tokens"))
+    return m.groupBy("type").agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_len"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("median_len"),
+        F.min("n_tokens").alias("min_len"),
+        F.max("n_tokens").alias("max_len"),
+    )
+
+
+def distinct_types(mentions_df: DataFrame) -> DataFrame:
+    """A7 — number of distinct entity types (app.py:773-774)."""
+    return mentions_df.agg(
+        F.countDistinct("type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_entities"),
+    )
+
+
+def vocab_build(tokens_df: DataFrame, min_freq: int = 2) -> DataFrame:
+    """A1 — word vocab: lowercased tokens with freq >= min_freq, dense ids
+    starting at 3 after <PAD>/<UNK>/<NUM> (utils/creation_vocabulaire.py:45-56).
+
+    Id order: by count desc then word asc (deterministic; the reference's
+    insertion order is not reproducible distributed, so the id *rule* is
+    normalized — the (word, count) set is identical).
+    """
+    counted = (
+        tokens_df.select(F.lower("token").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return counted.withColumn("id", F.row_number().over(w) + F.lit(2))
+
+
+def char_inventory(tokens_df: DataFrame) -> DataFrame:
+    """A2 — distinct characters with dense ids from 2 (after PAD/UNK);
+    ordered lexicographically (normalized from insertion order)."""
+    chars = (
+        tokens_df.select(F.explode(F.split("token", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .distinct()
+    )
+    w = Window.orderBy("ch")
+    return chars.withColumn("id", F.row_number().over(w) + F.lit(1))
+
+
+def tag_map(tags_df: DataFrame) -> DataFrame:
+    """A3 — distinct tags sorted, ids from 1 after <PAD>=0
+    (utils/creation_vocabulaire.py:169-174)."""
+    w = Window.orderBy("tag")
+    return (
+        tags_df.select("tag").distinct()
+        .withColumn("id", F.row_number().over(w))
+    )
+
+
+def corpus_stats(tags_df: DataFrame, group_col: str = "lang") -> DataFrame:
+    """A8 — per-split corpus statistics (utils/fonctions.py:303-517):
+    sentence/doc counts, token counts, entity-token counts, density, and
+    BIO B/I/O totals, in ONE pass (single shuffle on the group key)."""
+    return tags_df.groupBy(F.col(group_col).alias("split")).agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tag") != "O", 1).otherwise(0)).alias("n_entity_tokens"),
+        F.sum(F.when(F.col("tag").startswith("B-"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("tag").startswith("I-"), 1).otherwise(0)).alias("n_i"),
+        F.sum(F.when(F.col("tag") == "O", 1).otherwise(0)).alias("n_o"),
+        F.round(
+            F.sum(F.when(F.col("tag") != "O", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("entity_density"),
+    )
+
+
+def class_distribution_cube(tags_df: DataFrame,
+                            group_col: str = "lang") -> DataFrame:
+    """A8 split×class grid via CUBE (utils/fonctions.py:366-410) — exercises
+    grouping sets; Catalyst expands to a single shuffle."""
+    return (
+        tags_df.filter(F.col("tag") != "O")
+        .withColumn("cls", F.expr("substr(tag, 3)"))
+        .cube(F.col(group_col).alias("split"), "cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def top_words(tokens_df: DataFrame, k: int = 20) -> DataFrame:
+    """O6-style global top-k most frequent lowercased words."""
+    return (
+        tokens_df.select(F.lower("token").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(k)
+    )
