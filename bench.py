@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the KG pipeline stages (mentions -> linked -> canonical ->
+triples; the north-rule throughput path) plus the flagship aggregates and
+the scale-path dedup/similarity operators.
+
+The primary metric is triples/sec (BASELINE.json), reported alongside
+per-query wall seconds.  Input is repartitioned once to 2x cores to emulate
+the many-file splits a real 100 TB table provides (the driver testdata is a
+single parquet file, which would otherwise serialize the scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from biomedical_ner_spark import queries as Q  # noqa: E402
+from biomedical_ner_spark.operators import spans  # noqa: E402
+from biomedical_ner_spark.operators.linking import link_mentions  # noqa: E402
+from biomedical_ner_spark.operators.triples import triples as make_triples  # noqa: E402
+from biomedical_ner_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def timed(fn):
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bioner-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .repartition(CPUS * 2)
+        .persist()
+    )
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    # warm the JVM/codegen once so steady-state throughput is measured
+    spans.mentions(docs.limit(200)).count()
+
+    t, n = timed(lambda: spans.mentions(docs).count())
+    timings["mentions"], counts["mentions"] = t, n
+
+    t, n = timed(lambda: spans.extract_mentions_arrow(
+        docs, text_col="text", id_col="doc_id").count())
+    timings["mentions_arrow"], counts["mentions_arrow"] = t, n
+
+    mentions_df = spans.mentions(docs).persist()
+    mentions_df.count()
+
+    t, n = timed(lambda: link_mentions(mentions_df, spark).count())
+    timings["link"], counts["link"] = t, n
+
+    toks = spans.doc_tokens(docs).select("doc_id", "tokens")
+    t, n = timed(lambda: make_triples(toks, mentions_df).count())
+    timings["triples"], counts["triples"] = t, n
+
+    for name in (
+        "entity_type_counts", "corpus_stats", "vocab_build",
+        "minhash_lsh_pairs", "simhash", "ann_topk", "quality_score",
+    ):
+        fn = Q.queries()[name]
+        t, n = timed(lambda f=fn: f(spark, SF_DIR).count())
+        timings[name], counts[name] = t, n
+
+    total = sum(timings.values())
+    triples_per_sec = counts["triples"] / timings["triples"] if timings[
+        "triples"] else 0.0
+    docs_per_sec = n_docs / timings["mentions"] if timings["mentions"] else 0.0
+
+    out = {
+        "metric": "triples/sec",
+        "value": round(triples_per_sec, 1),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "counts": counts,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "n_docs": n_docs,
+        "total_sec": round(total, 3),
+        "sf": SF_DIR,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

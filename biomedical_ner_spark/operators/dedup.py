@@ -1,0 +1,228 @@
+"""Deduplication operators over the `documents` table — the training-data
+pipeline surface (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
+near-dup).
+
+Cross-engine determinism: every hash used in a value-checked path is
+md5-hex (identical in Spark and DuckDB); xxhash64 only appears in
+Spark-internal salting where no oracle comparison happens.
+
+Scale notes: exact dedup is one hash-groupBy; MinHash/LSH turns the O(n^2)
+pair space into per-(band, signature) buckets (shuffle key = bucket id,
+skew-capped); the brute-force Jaccard join exists only as the small-scale
+oracle for the LSH path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import SQL_TOKEN_PATTERN
+
+N_BANDS = 8
+ROWS_PER_BAND = 2  # signature length = N_BANDS * ROWS_PER_BAND = 16
+
+
+def _shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct lowercased token n-grams per doc.
+
+    Token shingling via array ops (narrow); `sequence` + `slice` builds the
+    n-gram windows JVM-side without any UDF."""
+    toks = F.expr(
+        f"transform(regexp_extract_all(lower({text_col}),"
+        f" '{SQL_TOKEN_PATTERN}', 0), t -> t)"
+    )
+    d = df.select("doc_id", toks.alias("toks"))
+    d = d.where(F.size("toks") >= n)
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(toks) - {n}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {n}))))"
+            )
+        ).alias("shingle"),
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: sha256(text) hash-groupBy; groups with >1 doc are dup
+    sets.  Returns (content_sha, n_docs, min_doc_id keeper)."""
+    return (
+        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Brute-ish n-gram Jaccard: shingle-inverted-index join (only pairs
+    sharing >=1 shingle are scored — never a cross join), then
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold.  Oracle-checkable; the LSH path
+    below is the scale path."""
+    sh = _shingles(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3,
+                       n_hashes: int = N_BANDS * ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, hash_idx, minhash): per hash function h_i, the minimum of
+    md5(i || shingle) over the doc's shingles.  md5-hex min is a valid
+    min-wise hash and is engine-portable for the DuckDB oracle."""
+    sh = _shingles(docs, text_col, n)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_hashes - 1}),"
+                f" i -> named_struct('hash_idx', i,"
+                f" 'h', md5(concat(cast(i AS STRING), ':', shingle))))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.hash_idx", "e.h")
+    return hashed.groupBy("doc_id", "hash_idx").agg(
+        F.min("h").alias("minhash")
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
+                        n_bands: int = N_BANDS,
+                        rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature, bucket-join on
+    (band, concatenated band signature), emit distinct candidate pairs.
+    Shuffle key is the bucket id — bounded fanout per bucket at scale via
+    the banding parameters."""
+    sig = minhash_signatures(docs, text_col, n, n_bands * rows_per_band)
+    banded = (
+        sig.withColumn("band", F.col("hash_idx") % n_bands)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.sort_array(F.collect_list("minhash")))
+            ).alias("bucket")
+        )
+    )
+    a = banded.select("band", "bucket", F.col("doc_id").alias("a"))
+    b = banded.select("band", "bucket", F.col("doc_id").alias("b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash BIGINT): sign-sum over token md5 bit-vectors.
+
+    Bit b of the fingerprint = 1 iff sum over tokens of (+1 if bit b of
+    md5(token) else -1) > 0.  Pure JVM expressions: md5 hex -> conv to a
+    64-bit int -> per-bit contribution via bit ops, aggregated with one
+    groupBy(doc_id)."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{SQL_TOKEN_PATTERN}', 0)"
+    )
+    t = docs.select("doc_id", F.explode(toks).alias("token"))
+    t = t.withColumn(
+        "h", F.expr("cast(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)")
+    )
+    bit_sums = t.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on half-band
+    equality (pigeonhole: distance<=3 over 4 blocks guarantees a matching
+    block) to avoid the cross join."""
+    s = simhash(docs, text_col, bits)
+    block_bits = bits // 4
+    mask = (1 << block_bits) - 1
+    blocked = s.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.expr(f"(simhash >> {i * block_bits}) & {mask}").alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.blk", "e.key")
+    a = blocked.select("blk", "key", F.col("doc_id").alias("a"),
+                       F.col("simhash").alias("sh_a"))
+    b = blocked.select("blk", "key", F.col("doc_id").alias("b"),
+                       F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["blk", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs.  Brute pair join guarded by a
+    norm-bucket block; at scale swap the blocker for the LSH bucketer in
+    similarity.py (random-hyperplane signs)."""
+    from .similarity import cosine_expr
+
+    n = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    a = n.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = n.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine_expr("va", "vb"), 6))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

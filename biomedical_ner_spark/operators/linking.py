@@ -1,0 +1,144 @@
+"""Entity linking (J7): mention surface -> CUI against a broadcast alias
+dictionary, with TF-IDF char-ngram + embedding-cosine re-ranking.
+
+North-rule stage 2 (BASELINE.json north_star): "a second Arrow UDF scores
+candidate entity links against a broadcast UMLS/MeSH alias dictionary with
+TF-IDF + embedding cosine re-ranking".
+
+Design: the alias dictionary is tiny (like the reference's 12.6k-word vocab,
+SURVEY.md D4/J4), so candidate generation is a **broadcast hash join** on a
+blocking key (the mention's first token = the alias's first token), giving
+several non-identical candidates per mention; scoring (0.6*tfidf-char-ngram
+cosine + 0.3*embedding cosine + 0.1*alias prior, +type bonus) runs
+vectorized inside ONE pandas UDF; top-1 per mention via a window (Catalyst
+rewrites the rank<=1 filter to per-key TopK).  Unlinked mentions get
+deterministic NIL CUIs (md5-derived) so canonicalization still merges
+identical surfaces.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from ..lexicon import build_alias_rows
+
+EMB_DIM = 32
+
+
+def _char_ngrams(s: str, n: int = 3) -> list[str]:
+    s = f"^{s}$"
+    return [s[i:i + n] for i in range(max(len(s) - n + 1, 1))]
+
+
+def _seeded_vec(key: str, dim: int = EMB_DIM) -> np.ndarray:
+    """Deterministic pseudo-embedding: md5-seeded unit vector (stands in for
+    the Word2Vec/BioWordVec artifact of streamlit_utils.py:42-59; a real
+    KeyedVectors export drops in as the same (word, vector) dim table)."""
+    h = hashlib.md5(key.encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / (np.linalg.norm(v) + 1e-9)
+
+
+def alias_dim(spark: SparkSession) -> DataFrame:
+    """The broadcast-side alias dimension table (FIXTURES.md §2)."""
+    return spark.createDataFrame(
+        build_alias_rows(),
+        "alias STRING, cui STRING, entity_type STRING, weight DOUBLE",
+    )
+
+
+def _tfidf_cosine(a: str, b: str, idf: dict[str, float]) -> float:
+    wa: dict[str, float] = {}
+    for g in _char_ngrams(a):
+        wa[g] = wa.get(g, 0.0) + idf.get(g, 1.0)
+    wb: dict[str, float] = {}
+    for g in _char_ngrams(b):
+        wb[g] = wb.get(g, 0.0) + idf.get(g, 1.0)
+    dot = sum(w * wb.get(g, 0.0) for g, w in wa.items())
+    na = math.sqrt(sum(w * w for w in wa.values()))
+    nb = math.sqrt(sum(w * w for w in wb.values()))
+    return dot / (na * nb + 1e-12)
+
+
+def link_mentions(mentions_df: DataFrame, spark: SparkSession,
+                  text_col: str = "text") -> DataFrame:
+    """mentions + (cui, link_score, linked): broadcast candidate join,
+    Arrow-UDF re-rank, top-1 per mention window."""
+    aliases = alias_dim(spark)
+    alias_rows = [(r.alias, r.cui, r.entity_type, r.weight)
+                  for r in aliases.collect()]
+    df_counts: dict[str, int] = {}
+    for a, _, _, _ in alias_rows:
+        for g in set(_char_ngrams(a)):
+            df_counts[g] = df_counts.get(g, 0) + 1
+    n_alias = max(len(alias_rows), 1)
+    idf = {g: math.log(1.0 + n_alias / c) for g, c in df_counts.items()}
+    alias_vecs = {a: _seeded_vec(a) for a, _, _, _ in alias_rows}
+
+    sc = spark.sparkContext
+    b_idf = sc.broadcast(idf)
+    b_vecs = sc.broadcast(alias_vecs)
+
+    key_cols = ["doc_id", "start_position", "end_position"]
+    m = mentions_df.withColumn("_surface", F.lower(F.col(text_col)))
+    m = m.withColumn("_block", F.split("_surface", " ")[0])
+    cand_dim = (
+        aliases
+        .withColumn("_block", F.split("alias", " ")[0])
+        .withColumnRenamed("entity_type", "_alias_type")
+    )
+    cand = m.join(F.broadcast(cand_dim), on="_block", how="left")
+
+    @pandas_udf("double")
+    def rerank(surface: pd.Series, alias: pd.Series, alias_type: pd.Series,
+               mention_type: pd.Series, weight: pd.Series) -> pd.Series:
+        idf_d = b_idf.value
+        vecs = b_vecs.value
+        out = np.zeros(len(surface), dtype=np.float64)
+        for i, (s, a, at, mt, w) in enumerate(
+            zip(surface, alias, alias_type, mention_type, weight)
+        ):
+            if a is None or w is None:
+                out[i] = 0.0
+                continue
+            tf = _tfidf_cosine(s, a, idf_d)
+            av = vecs.get(a)
+            sv = _seeded_vec(s)
+            emb = float(sv @ av) if av is not None else 0.0
+            type_bonus = 0.1 if at == mt else 0.0
+            out[i] = 0.6 * tf + 0.3 * emb + 0.1 * float(w) + type_bonus
+        return pd.Series(np.round(out, 6))
+
+    scored = cand.withColumn(
+        "link_score", rerank("_surface", "alias", "_alias_type", "type", "weight")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("link_score"), F.asc("cui"))
+    top1 = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_alias_type", "weight", "alias", "_block")
+    )
+    return (
+        top1.withColumn("linked", F.col("cui").isNotNull())
+        .withColumn(
+            "cui",
+            F.coalesce(
+                F.col("cui"),
+                F.concat(
+                    F.lit("NIL"),
+                    F.upper(F.substring(
+                        F.md5(F.concat_ws(":", "type", "_surface")), 1, 8)),
+                ),
+            ),
+        )
+        .drop("_surface")
+    )

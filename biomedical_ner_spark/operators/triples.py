@@ -1,0 +1,95 @@
+"""Triple extraction (J8) — sentence/document-scope co-occurrence self-join.
+
+North-rule operator (BASELINE.json): emit (subj, pred, obj) rows from
+mention-pair co-occurrence.  Deterministic predicate rule (SURVEY.md §7.5):
+the verb-pool token nearest to the subject strictly between the two spans
+names the predicate; otherwise 'co_occurs_with'.
+
+Scale notes: the self-join is an equi-join on the scope key (doc_id), so it
+shuffles once on doc_id; mega-documents (hot keys) are bounded by the
+max_pairs window guard, and AQE skew-join splitting backs it up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..lexicon import VERB_POOL, verb_pred_case_sql
+
+
+def cooc_pairs(mentions_df: DataFrame, scope_cols: list[str] | None = None,
+               max_span_gap: int | None = None) -> DataFrame:
+    """Ordered mention pairs within a scope: subj.start < obj.start
+    (SURVEY.md J8).  Equi-join on the scope key + theta residual."""
+    scope_cols = scope_cols or ["doc_id"]
+    a = mentions_df.select(
+        *scope_cols,
+        F.col("text").alias("subj_text"),
+        F.col("type").alias("subj_type"),
+        F.col("start_position").alias("subj_start"),
+        F.col("end_position").alias("subj_end"),
+    )
+    b = mentions_df.select(
+        *scope_cols,
+        F.col("text").alias("obj_text"),
+        F.col("type").alias("obj_type"),
+        F.col("start_position").alias("obj_start"),
+        F.col("end_position").alias("obj_end"),
+    )
+    cond = [a[c] == b[c] for c in scope_cols]
+    pairs = a.join(b, cond).where(F.col("subj_start") < F.col("obj_start"))
+    if max_span_gap is not None:
+        pairs = pairs.where(
+            F.col("obj_start") - F.col("subj_end") <= max_span_gap
+        )
+    return pairs.select(
+        *[a[c] for c in scope_cols],
+        "subj_text", "subj_type", "subj_start", "subj_end",
+        "obj_text", "obj_type", "obj_start", "obj_end",
+    )
+
+
+def triples(docs_with_tokens: DataFrame, mentions_df: DataFrame,
+            scope_cols: list[str] | None = None) -> DataFrame:
+    """(subj, pred, obj) rows: co-occurrence pairs + nearest-verb predicate.
+
+    ``docs_with_tokens`` must carry scope cols + a `tokens` ARRAY<STRING>
+    column (from spans.doc_tokens); the predicate verb is found by scanning
+    tokens strictly between subj_end and obj_start — done array-side with a
+    single broadcast-friendly join back to the doc row (the doc side is the
+    *same* scan, so Catalyst reuses the exchange).
+    """
+    scope_cols = scope_cols or ["doc_id"]
+    pairs = cooc_pairs(mentions_df, scope_cols)
+    toks = docs_with_tokens.select(*scope_cols, "tokens")
+    j = pairs.join(toks, scope_cols)
+    # tokens strictly between the spans, first verb-pool hit nearest subject
+    verb_map_pairs = ", ".join(
+        f"'{v}', '{p}'" for v, p in sorted(VERB_POOL.items())
+    )
+    j = j.withColumn(
+        "pred",
+        F.expr(
+            f"""coalesce(
+              element_at(map({verb_map_pairs}),
+                get(filter(
+                  transform(slice(tokens, subj_end + 2,
+                                  greatest(obj_start - subj_end - 1, 0)),
+                            t -> lower(t)),
+                  t -> element_at(map({verb_map_pairs}), t) IS NOT NULL), 0)),
+              'co_occurs_with')"""
+        ),
+    )
+    return j.select(
+        *scope_cols,
+        "subj_text", "subj_type", "pred", "obj_text", "obj_type",
+        "subj_start", "obj_start",
+    )
+
+
+def cooc_triples_sql(doc_spans_cte: str) -> str:
+    """DuckDB oracle twin for co-occurrence pairs with the nearest-verb rule
+    applied over a spans CTE that exposes (doc_id, text, type,
+    start_position, end_position) plus a tokens array per doc."""
+    raise NotImplementedError("composed in __spark_entry__ oracle_sql")

@@ -1,0 +1,229 @@
+"""The end-to-end KG construction DAG (north rule, BASELINE.json):
+
+  repos(repo, path, commit, lang, content)
+    -> [extract]      mentions (tokenize -> BIO tag -> span merge)
+    -> [link]         + cui/link_score vs broadcast alias dict
+    -> [canonicalize] salted counts + connected components -> canonical_id
+    -> [triples]      co-occurrence (subj, pred, obj) with verb rule
+    -> [materialize]  entities + relations tables, type-bucket partitioned
+
+Invariants & ops story:
+  * per-row content sha256 (P14) computed at ingest, carried through every
+    stage, re-verified at the sink; per-bucket sha_ok recorded in the
+    manifest.
+  * resumable: work is hash-bucketed by (repo, path, commit); each stage
+    writes bucket-partitioned parquet with dynamic partition overwrite
+    (idempotent per bucket) and appends per-bucket counter rows to the
+    manifest; a restart recomputes only buckets missing their manifest row.
+  * skew: canonical-id aggregation uses salted two-phase counts; the
+    co-occurrence self-join relies on bounded per-doc mention counts
+    (<= max_seq_len) + AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import spans
+from ..operators.canonicalize import canonical_entities, salted_counts
+from ..operators.linking import link_mentions
+from ..operators.triples import triples as make_triples
+from ..sources.repos import with_content_sha
+from . import manifest as mf
+
+STAGES = ("mentions", "linked", "graph")
+
+
+def _dyn_overwrite(df: DataFrame, path: str) -> None:
+    (
+        df.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def _counts_by_bucket(df: DataFrame) -> dict[int, int]:
+    return {
+        r.bucket: r.n
+        for r in df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def prepare_input(repos: DataFrame, n_buckets: int) -> DataFrame:
+    r = with_content_sha(repos)
+    r = r.withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_buckets)).cast("int"),
+    )
+    return r
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    repos: DataFrame,
+    out_dir: str,
+    run_id: str = "run-1",
+    n_buckets: int = 8,
+    resume: bool = True,
+    exact_parity: bool = True,
+) -> dict:
+    """Run (or resume) the full pipeline; returns summary counters.
+
+    exact_parity=True routes extraction through the fused Arrow path
+    (Python-re semantics on arbitrary unicode); False uses the pure-JVM
+    window path (identical output on ASCII corpora, higher throughput).
+    """
+    manifest_path = f"{out_dir}/manifest"
+    src = prepare_input(repos, n_buckets).persist()
+    keep = ["doc_id", "bucket", "repo", "path", "commit", "lang", "content_sha"]
+
+    all_buckets = set(range(n_buckets))
+    summary: dict = {"run_id": run_id, "stages": {}}
+
+    # ---- stage 1: mentions -------------------------------------------------
+    done = mf.done_buckets(spark, manifest_path, run_id, "mentions") if resume else set()
+    pending = sorted(all_buckets - done)
+    if pending:
+        part = src.where(F.col("bucket").isin(pending))
+        if exact_parity:
+            m = spans.extract_mentions_arrow(
+                part, text_col="content", id_col="doc_id", sha_col="content_sha"
+            )
+            meta = part.select(
+                "doc_id", "bucket", "repo", "path", "commit", "lang"
+            )
+            m = m.join(meta, "doc_id")
+        else:
+            m = spans.mentions(part, text_col="content", keep_cols=keep)
+        _dyn_overwrite(m, f"{out_dir}/mentions")
+        written = spark.read.parquet(f"{out_dir}/mentions").where(
+            F.col("bucket").isin(pending)
+        )
+        in_c = _counts_by_bucket(part)
+        out_c = _counts_by_bucket(written)
+        # sha invariant: every mention's content_sha must exist in the input
+        bad = (
+            written.select("bucket", "content_sha").distinct()
+            .join(
+                src.select("content_sha").distinct(), "content_sha", "left_anti"
+            )
+        )
+        bad_b = {r.bucket for r in bad.select("bucket").distinct().collect()}
+        sha_ok = {b: b not in bad_b for b in pending}
+        mf.append_rows(
+            spark, manifest_path,
+            mf.stage_counters(run_id, "mentions", in_c, out_c, sha_ok),
+        )
+    mentions_df = spark.read.parquet(f"{out_dir}/mentions")
+    summary["stages"]["mentions"] = mentions_df.count()
+
+    # ---- stage 2: linking --------------------------------------------------
+    done = mf.done_buckets(spark, manifest_path, run_id, "linked") if resume else set()
+    pending = sorted(all_buckets - done)
+    if pending:
+        part = mentions_df.where(F.col("bucket").isin(pending))
+        linked = link_mentions(part, spark, text_col="text")
+        _dyn_overwrite(linked, f"{out_dir}/linked")
+        in_c = _counts_by_bucket(part)
+        out_c = _counts_by_bucket(
+            spark.read.parquet(f"{out_dir}/linked").where(
+                F.col("bucket").isin(pending))
+        )
+        sha_ok = {b: in_c.get(b, 0) == out_c.get(b, 0) for b in pending}
+        mf.append_rows(
+            spark, manifest_path,
+            mf.stage_counters(run_id, "linked", in_c, out_c, sha_ok),
+        )
+    linked_df = spark.read.parquet(f"{out_dir}/linked")
+    summary["stages"]["linked"] = linked_df.count()
+
+    # ---- stage 3: canonicalize + triples + materialize ---------------------
+    done = mf.done_buckets(spark, manifest_path, run_id, "graph") if resume else set()
+    pending = sorted(all_buckets - done)
+    if pending:
+        canon = canonical_entities(
+            linked_df, spark, checkpoint_dir=f"{out_dir}/cc_rounds"
+        )
+        lm = linked_df.join(canon, "cui")
+        # entities table: canonical id, surface stats (salted: hot surfaces)
+        ent_counts = salted_counts(lm, "canonical_id").withColumnRenamed(
+            "n", "n_mentions"
+        )
+        entities = (
+            lm.groupBy("canonical_id")
+            .agg(
+                F.min("cui").alias("cui"),
+                F.first("type").alias("entity_type"),
+                F.min("text").alias("canonical_text"),
+                F.round(F.avg("link_score"), 6).alias("avg_link_score"),
+            )
+            .join(ent_counts, "canonical_id")
+        )
+        entities.write.mode("overwrite").parquet(f"{out_dir}/entities")
+
+        docs_toks = spans.doc_tokens(
+            src.select("doc_id", "bucket", "content_sha",
+                       F.col("content").alias("text"))
+        ).select("doc_id", "bucket", "content_sha", "tokens")
+        trip = make_triples(
+            docs_toks,
+            lm.select("doc_id", "text", "type",
+                      "start_position", "end_position"),
+            scope_cols=["doc_id"],
+        )
+        # re-attach canonical ids + sha for the relations table
+        rel = (
+            trip
+            .join(
+                lm.select(
+                    F.col("doc_id").alias("d1"),
+                    F.col("start_position").alias("s1"),
+                    F.col("canonical_id").alias("subj_cui"),
+                ),
+                (trip.doc_id == F.col("d1")) & (trip.subj_start == F.col("s1")),
+            )
+            .join(
+                lm.select(
+                    F.col("doc_id").alias("d2"),
+                    F.col("start_position").alias("s2"),
+                    F.col("canonical_id").alias("obj_cui"),
+                ),
+                (trip.doc_id == F.col("d2")) & (trip.obj_start == F.col("s2")),
+            )
+            .join(
+                src.select("doc_id", "bucket", "content_sha"), "doc_id"
+            )
+            .select(
+                "subj_cui", "pred", "obj_cui", "subj_text", "obj_text",
+                "subj_type", "obj_type", "doc_id", "content_sha", "bucket",
+            )
+        )
+        _dyn_overwrite(rel, f"{out_dir}/relations")
+        in_c = _counts_by_bucket(linked_df.where(F.col("bucket").isin(pending)))
+        rel_written = spark.read.parquet(f"{out_dir}/relations").where(
+            F.col("bucket").isin(pending)
+        )
+        out_c = _counts_by_bucket(rel_written)
+        bad = rel_written.select("bucket", "content_sha").distinct().join(
+            src.select("content_sha").distinct(), "content_sha", "left_anti"
+        )
+        bad_b = {r.bucket for r in bad.select("bucket").distinct().collect()}
+        sha_ok = {b: b not in bad_b for b in pending}
+        mf.append_rows(
+            spark, manifest_path,
+            mf.stage_counters(run_id, "graph", in_c, out_c, sha_ok),
+        )
+    summary["stages"]["relations"] = spark.read.parquet(
+        f"{out_dir}/relations"
+    ).count()
+    summary["stages"]["entities"] = spark.read.parquet(
+        f"{out_dir}/entities"
+    ).count()
+    summary["manifest"] = mf.read_manifest(spark, manifest_path).where(
+        F.col("run_id") == run_id
+    ).count()
+    src.unpersist()
+    return summary

@@ -1,0 +1,921 @@
+"""Query registry: every SURVEY.md §2 operator exposed as a (Spark
+callable, DuckDB oracle SQL) pair for the driver's correctness harness.
+
+Conventions (driver contract, __spark_entry__.py):
+  * each Spark callable takes (spark, sf_dir) and returns a DataFrame;
+  * column names/types match the oracle exactly (computed ints cast to
+    BIGINT because DuckDB's count/row_number are 64-bit);
+  * float outputs are per-row computations or single divisions of exact
+    integer aggregates, rounded to 6 dp — never order-sensitive float sums
+    — so value hashes match bit-for-bit across engines;
+  * rankings order by the ROUNDED score + id tiebreak so top-k membership
+    is engine-stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    SQL_TOKEN_PATTERN,
+    STOPWORDS,
+    fingerprint_expr,
+    punct_ratio_expr,
+    stopword_ratio_expr,
+    tokenize_expr,
+)
+from .lexicon import VERB_POOL, entity_name_case_sql, verb_pred_case_sql
+from .operators import dedup, eval as ev, similarity, spans, splits, stats
+from .operators.canonicalize import canonical_entities
+from .operators.linking import link_mentions
+from .operators.spans import MAX_SEQ_LEN, bio_spans_window_sql, bio_tags_window_sql
+from .operators.triples import triples as make_triples
+from .sources.repos import repos_from_documents
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _tags(spark: SparkSession, sf_dir: str, with_lang: bool = False) -> DataFrame:
+    keep = ["doc_id", "lang"] if with_lang else ["doc_id"]
+    return spans.bio_tags_exploded(_docs(spark, sf_dir), keep_cols=keep)
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spans.mentions(_docs(spark, sf_dir))
+
+
+_TAGS_CTE = bio_tags_window_sql("documents")
+_SPANS_CTE = bio_spans_window_sql("documents")
+
+# DuckDB CTE: lowercased truncated token arrays per doc (for the verb rule)
+_TOKS_ARR_CTE = f"""
+SELECT doc_id,
+       list_transform(regexp_extract_all(text, '{SQL_TOKEN_PATTERN}')[1:{MAX_SEQ_LEN}],
+                      t -> lower(t)) AS arr
+FROM documents
+"""
+
+_VERBS_IN = ", ".join(f"'{v}'" for v in sorted(VERB_POOL))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+
+def q_tokenize_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokenize_expr("text")).cast("bigint").alias("n_tokens"),
+        F.size(F.expr(
+            f"slice(regexp_extract_all(text, '{SQL_TOKEN_PATTERN}', 0), 1,"
+            f" {MAX_SEQ_LEN})"
+        )).cast("bigint").alias("n_tokens_truncated"),
+    )
+
+
+def q_bio_tags(spark, sf_dir):
+    t = _tags(spark, sf_dir)
+    return t.select("doc_id", F.col("pos").cast("bigint").alias("pos"),
+                    "token", "tag")
+
+
+def q_bio_spans(spark, sf_dir):
+    m = _mentions(spark, sf_dir)
+    return m.select(
+        "doc_id", "text", "type", "tag",
+        F.col("start_position").cast("bigint").alias("start_position"),
+        F.col("end_position").cast("bigint").alias("end_position"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def q_entity_type_counts(spark, sf_dir):
+    return stats.entity_type_counts(_mentions(spark, sf_dir))
+
+
+def q_tag_distribution(spark, sf_dir):
+    return stats.tag_distribution(_tags(spark, sf_dir))
+
+
+def q_entity_length_stats(spark, sf_dir):
+    return stats.entity_length_stats(_mentions(spark, sf_dir)).select(
+        "type", "n_entities", "mean_len", "median_len",
+        F.col("min_len").cast("bigint").alias("min_len"),
+        F.col("max_len").cast("bigint").alias("max_len"),
+    )
+
+
+def q_distinct_types(spark, sf_dir):
+    return stats.distinct_types(_mentions(spark, sf_dir))
+
+
+def q_vocab_build(spark, sf_dir):
+    return stats.vocab_build(_tags(spark, sf_dir)).select(
+        "word", "freq", F.col("id").cast("bigint").alias("id")
+    )
+
+
+def q_char_inventory(spark, sf_dir):
+    return stats.char_inventory(_tags(spark, sf_dir)).select(
+        "ch", F.col("id").cast("bigint").alias("id")
+    )
+
+
+def q_tag_map(spark, sf_dir):
+    return stats.tag_map(_tags(spark, sf_dir)).select(
+        "tag", F.col("id").cast("bigint").alias("id")
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    return stats.corpus_stats(_tags(spark, sf_dir, with_lang=True))
+
+
+def q_class_distribution_cube(spark, sf_dir):
+    return stats.class_distribution_cube(_tags(spark, sf_dir, with_lang=True))
+
+
+def q_top_words(spark, sf_dir):
+    return stats.top_words(_tags(spark, sf_dir), k=20)
+
+
+def q_vocab_lookup(spark, sf_dir):
+    t = _tags(spark, sf_dir)
+    vocab = stats.vocab_build(t)
+    toks = t.select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "token"
+    )
+    j = toks.join(
+        F.broadcast(vocab.select(F.col("word"), F.col("id"))),
+        F.lower(toks.token) == F.col("word"),
+        "left",
+    )
+    return j.select(
+        "doc_id", "pos", "token",
+        F.when(toks.token.rlike("^[0-9]+$"), F.lit(2))
+        .otherwise(F.coalesce(F.col("id"), F.lit(1)))
+        .cast("bigint")
+        .alias("word_id"),
+    )
+
+
+def q_token_accuracy(spark, sf_dir):
+    pairs = ev.with_synthetic_predictions(_tags(spark, sf_dir))
+    return ev.token_accuracy(pairs)
+
+
+def q_confusion_matrix(spark, sf_dir):
+    pairs = ev.with_synthetic_predictions(_tags(spark, sf_dir))
+    return ev.confusion_matrix(pairs)
+
+
+def q_macro_prf(spark, sf_dir):
+    pairs = ev.with_synthetic_predictions(_tags(spark, sf_dir))
+    return ev.macro_prf(pairs)
+
+
+def q_per_class_report(spark, sf_dir):
+    pairs = ev.with_synthetic_predictions(_tags(spark, sf_dir))
+    return ev.per_class_report(pairs)
+
+
+def q_eval_join(spark, sf_dir):
+    pairs = ev.with_synthetic_predictions(_tags(spark, sf_dir))
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("pred") == F.col("target"), 1).otherwise(0))
+        .cast("bigint").alias("n_correct"),
+    )
+
+
+def q_entity_names(spark, sf_dir):
+    return (
+        _mentions(spark, sf_dir)
+        .select("type")
+        .distinct()
+        .select("type", F.expr(entity_name_case_sql("type")).alias("entity_name"))
+    )
+
+
+def q_cooc_triples(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    m = spans.mentions(d)
+    toks = spans.doc_tokens(d).select("doc_id", "tokens")
+    t = make_triples(toks, m, scope_cols=["doc_id"])
+    return t.select(
+        "doc_id", "subj_text", "subj_type", "pred", "obj_text", "obj_type",
+        F.col("subj_start").cast("bigint").alias("subj_start"),
+        F.col("obj_start").cast("bigint").alias("obj_start"),
+    )
+
+
+def q_cooc_counts(spark, sf_dir):
+    return q_cooc_triples(spark, sf_dir).groupBy(
+        "subj_type", "pred", "obj_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.sha2("text", 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir)).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.2
+    ).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "jaccard",
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = tokenize_expr("text")
+    d = d.withColumn("_t", toks)
+    return d.select(
+        "doc_id",
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.round(punct_ratio_expr(F.col("_t")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_expr(F.col("_t")), 6).alias("stopword_ratio"),
+        F.round(
+            F.expr(
+                "aggregate(_t, 0L, (a, t) -> a + length(t)) / "
+                "greatest(size(_t), 1)"
+            ),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    return similarity.brute_topk(_emb(spark, sf_dir), k=5, n_queries=100).select(
+        "q", "c", "cos", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+def q_events_json(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+    )
+
+
+def q_sequential_split(spark, sf_dir):
+    return splits.split_counts(
+        splits.sequential_split(_docs(spark, sf_dir))
+    )
+
+
+def q_shuffled_split(spark, sf_dir):
+    s = splits.seeded_shuffle_split(_docs(spark, sf_dir))
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("doc_id_sum"),  # checks membership, not just size
+    )
+
+
+def q_corpus_union(spark, sf_dir):
+    """U1/U4: union of the non-O tag universes of two deterministic halves."""
+    t = _tags(spark, sf_dir)
+    a = t.where(F.col("doc_id") % 2 == 0).select("tag")
+    b = t.where(F.col("doc_id") % 2 == 1).select("tag")
+    return a.union(b).where(F.col("tag") != "O").distinct()
+
+
+# ---- repo-shaped KG pipeline stages (rows-only driver checks) -------------
+
+
+def q_kg_mentions(spark, sf_dir):
+    repos = repos_from_documents(_docs(spark, sf_dir))
+    return spans.extract_mentions_arrow(
+        repos.withColumn("content_sha", F.sha2("content", 256)),
+        text_col="content", id_col="doc_id", sha_col="content_sha",
+    )
+
+
+def q_kg_linked(spark, sf_dir):
+    m = q_kg_mentions(spark, sf_dir)
+    return link_mentions(m, spark)
+
+
+def q_kg_canonical(spark, sf_dir):
+    lm = q_kg_linked(spark, sf_dir)
+    return canonical_entities(lm, spark)
+
+
+def q_lsh_topk(spark, sf_dir):
+    return similarity.lsh_topk(_emb(spark, sf_dir), k=5, n_queries=100)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _sql_tokenize_counts() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{SQL_TOKEN_PATTERN}')) AS BIGINT)
+    AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{SQL_TOKEN_PATTERN}')[1:{MAX_SEQ_LEN}])
+    AS BIGINT) AS n_tokens_truncated
+FROM documents
+"""
+
+
+def _sql_bio_tags() -> str:
+    return _TAGS_CTE
+
+
+def _sql_bio_spans() -> str:
+    return f"""
+SELECT doc_id, text, type, tag,
+       CAST(start_position AS BIGINT) AS start_position,
+       CAST(end_position AS BIGINT) AS end_position,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM ({_SPANS_CTE})
+"""
+
+
+def _sql_entity_type_counts() -> str:
+    return f"""
+SELECT {entity_name_case_sql('type')} AS entity_type,
+       count(*) AS n_entities
+FROM ({_SPANS_CTE})
+GROUP BY 1
+"""
+
+
+def _sql_tag_distribution() -> str:
+    return f"""
+SELECT tag, count(*) AS n_tokens
+FROM ({_TAGS_CTE})
+WHERE tag NOT IN ('O', '<PAD>')
+GROUP BY tag
+"""
+
+
+def _sql_entity_length_stats() -> str:
+    return f"""
+SELECT type,
+       count(*) AS n_entities,
+       round(avg(n_tokens), 6) AS mean_len,
+       round(median(n_tokens), 6) AS median_len,
+       CAST(min(n_tokens) AS BIGINT) AS min_len,
+       CAST(max(n_tokens) AS BIGINT) AS max_len
+FROM ({_SPANS_CTE})
+GROUP BY type
+"""
+
+
+def _sql_distinct_types() -> str:
+    return f"""
+SELECT count(DISTINCT type) AS n_types, count(*) AS n_entities
+FROM ({_SPANS_CTE})
+"""
+
+
+_VOCAB_CTE = f"""
+SELECT word, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, word ASC) + 2 AS BIGINT)
+         AS id
+FROM (
+  SELECT lower(token) AS word, count(*) AS freq
+  FROM ({_TAGS_CTE})
+  GROUP BY 1
+  HAVING count(*) >= 2
+)
+"""
+
+
+def _sql_vocab_build() -> str:
+    return _VOCAB_CTE
+
+
+def _sql_char_inventory() -> str:
+    return f"""
+SELECT ch, CAST(row_number() OVER (ORDER BY ch) + 1 AS BIGINT) AS id
+FROM (
+  SELECT DISTINCT UNNEST(string_split(token, '')) AS ch
+  FROM ({_TAGS_CTE})
+  WHERE token <> ''
+)
+WHERE ch <> ''
+"""
+
+
+def _sql_tag_map() -> str:
+    return f"""
+SELECT tag, CAST(row_number() OVER (ORDER BY tag) AS BIGINT) AS id
+FROM (SELECT DISTINCT tag FROM ({_TAGS_CTE}))
+"""
+
+
+def _sql_corpus_stats() -> str:
+    return f"""
+SELECT d.lang AS split,
+       count(DISTINCT t.doc_id) AS n_docs,
+       count(*) AS n_tokens,
+       sum(CASE WHEN t.tag <> 'O' THEN 1 ELSE 0 END) AS n_entity_tokens,
+       sum(CASE WHEN t.tag LIKE 'B-%' THEN 1 ELSE 0 END) AS n_b,
+       sum(CASE WHEN t.tag LIKE 'I-%' THEN 1 ELSE 0 END) AS n_i,
+       sum(CASE WHEN t.tag = 'O' THEN 1 ELSE 0 END) AS n_o,
+       round(sum(CASE WHEN t.tag <> 'O' THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS entity_density
+FROM ({_TAGS_CTE}) t JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+def _sql_class_distribution_cube() -> str:
+    return f"""
+SELECT d.lang AS split, substr(t.tag, 3) AS cls, count(*) AS n
+FROM ({_TAGS_CTE}) t JOIN documents d USING (doc_id)
+WHERE t.tag <> 'O'
+GROUP BY CUBE(split, cls)
+"""
+
+
+def _sql_top_words() -> str:
+    return f"""
+SELECT lower(token) AS word, count(*) AS freq
+FROM ({_TAGS_CTE})
+GROUP BY 1
+ORDER BY freq DESC, word ASC
+LIMIT 20
+"""
+
+
+def _sql_vocab_lookup() -> str:
+    return f"""
+WITH vocab AS ({_VOCAB_CTE})
+SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, t.token,
+       CAST(CASE WHEN regexp_full_match(t.token, '[0-9]+') THEN 2
+            ELSE coalesce(v.id, 1) END AS BIGINT) AS word_id
+FROM ({_TAGS_CTE}) t LEFT JOIN vocab v ON lower(t.token) = v.word
+"""
+
+
+_PAIRS_CTE = f"""
+SELECT doc_id, pos, token, tag AS target,
+       CASE WHEN (doc_id + pos) % 7 = 0 THEN 'O' ELSE tag END AS pred
+FROM ({_TAGS_CTE})
+"""
+
+
+def _sql_token_accuracy() -> str:
+    return f"""
+SELECT count(*) AS n_tokens,
+       sum(CASE WHEN pred = target THEN 1 ELSE 0 END) AS n_correct,
+       round(sum(CASE WHEN pred = target THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS accuracy
+FROM ({_PAIRS_CTE})
+"""
+
+
+def _sql_confusion_matrix() -> str:
+    return f"""
+SELECT target, pred, count(*) AS n,
+       round(count(*)::DOUBLE
+             / sum(count(*)) OVER (PARTITION BY target), 6) AS frac
+FROM ({_PAIRS_CTE})
+GROUP BY target, pred
+"""
+
+
+_PER_CLASS_CTE = f"""
+WITH kept AS (
+  SELECT * FROM ({_PAIRS_CTE}) WHERE target <> 'O' OR pred <> 'O'
+), classes AS (
+  SELECT DISTINCT cls FROM (
+    SELECT target AS cls FROM kept UNION SELECT pred AS cls FROM kept
+  )
+), t AS (
+  SELECT target AS cls,
+         sum(CASE WHEN pred = target THEN 1 ELSE 0 END) AS tp,
+         count(*) AS support
+  FROM kept GROUP BY target
+), p AS (
+  SELECT pred AS cls, count(*) AS pred_n FROM kept GROUP BY pred
+), per_class AS (
+  SELECT c.cls,
+         coalesce(t.tp, 0) AS tp,
+         coalesce(t.support, 0) AS support,
+         coalesce(p.pred_n, 0) AS pred_n
+  FROM classes c LEFT JOIN t ON c.cls = t.cls LEFT JOIN p ON c.cls = p.cls
+), prf AS (
+  SELECT cls, support,
+         CASE WHEN pred_n > 0 THEN tp::DOUBLE / pred_n ELSE 0.0 END
+           AS precision,
+         CASE WHEN support > 0 THEN tp::DOUBLE / support ELSE 0.0 END
+           AS recall
+  FROM per_class
+)
+"""
+
+
+def _sql_macro_prf() -> str:
+    return f"""
+{_PER_CLASS_CTE}
+SELECT round(avg(precision), 6) AS macro_precision,
+       round(avg(recall), 6) AS macro_recall,
+       round(avg(CASE WHEN precision + recall > 0
+                 THEN 2 * precision * recall / (precision + recall)
+                 ELSE 0.0 END), 6) AS macro_f1,
+       count(*) AS n_classes
+FROM prf
+"""
+
+
+def _sql_per_class_report() -> str:
+    return f"""
+{_PER_CLASS_CTE}
+SELECT cls, support, round(precision, 6) AS precision,
+       round(recall, 6) AS recall
+FROM prf
+"""
+
+
+def _sql_eval_join() -> str:
+    return f"""
+SELECT doc_id, count(*) AS n_tokens,
+       sum(CASE WHEN pred = target THEN 1 ELSE 0 END) AS n_correct
+FROM ({_PAIRS_CTE})
+GROUP BY doc_id
+"""
+
+
+def _sql_entity_names() -> str:
+    return f"""
+SELECT type, {entity_name_case_sql('type')} AS entity_name
+FROM (SELECT DISTINCT type FROM ({_SPANS_CTE}))
+"""
+
+
+def _sql_cooc_triples() -> str:
+    return f"""
+WITH sp AS ({_SPANS_CTE}), toks AS ({_TOKS_ARR_CTE})
+SELECT s1.doc_id,
+       s1.text AS subj_text, s1.type AS subj_type,
+       coalesce(
+         {verb_pred_case_sql(
+             "list_filter(k.arr[s1.end_position + 2 : s2.start_position],"
+             " t -> t IN (" + _VERBS_IN + "))[1]")},
+         'co_occurs_with') AS pred,
+       s2.text AS obj_text, s2.type AS obj_type,
+       CAST(s1.start_position AS BIGINT) AS subj_start,
+       CAST(s2.start_position AS BIGINT) AS obj_start
+FROM sp s1
+JOIN sp s2 ON s1.doc_id = s2.doc_id
+          AND s1.start_position < s2.start_position
+JOIN toks k ON k.doc_id = s1.doc_id
+"""
+
+
+def _sql_cooc_counts() -> str:
+    return f"""
+SELECT subj_type, pred, obj_type, count(*) AS n
+FROM ({_sql_cooc_triples()})
+GROUP BY 1, 2, 3
+"""
+
+
+def _sql_dedup_exact() -> str:
+    return """
+SELECT sha256(text) AS content_sha, count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def _sql_fingerprint() -> str:
+    return f"""
+SELECT doc_id,
+       md5(array_to_string(
+           regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}'), ' '))
+         AS fingerprint
+FROM documents
+"""
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    n_hashes = dedup.N_BANDS * dedup.ROWS_PER_BAND
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(
+             range(len(arr) - 2),
+             i -> array_to_string(arr[i + 1 : i + 3], ' '))) AS shingle
+    FROM (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS arr
+      FROM documents
+    )
+    WHERE len(arr) >= 3
+  )
+), hashed AS (
+  SELECT doc_id, i.range AS hash_idx,
+         md5(CAST(i.range AS VARCHAR) || ':' || shingle) AS h
+  FROM sh, range({n_hashes}) i
+), sig AS (
+  SELECT doc_id, hash_idx, min(h) AS minhash
+  FROM hashed GROUP BY doc_id, hash_idx
+), banded AS (
+  SELECT doc_id, hash_idx % {dedup.N_BANDS} AS band,
+         md5(string_agg(minhash, '|' ORDER BY minhash)) AS bucket
+  FROM sig GROUP BY doc_id, hash_idx % {dedup.N_BANDS}
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def _sql_ngram_jaccard() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(
+             range(len(arr) - 2),
+             i -> array_to_string(arr[i + 1 : i + 3], ' '))) AS shingle
+    FROM (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS arr
+      FROM documents
+    )
+    WHERE len(arr) >= 3
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       round(c.common::DOUBLE / (sa.sz + sb.sz - c.common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.a
+JOIN sizes sb ON sb.doc_id = c.b
+WHERE c.common::DOUBLE / (sa.sz + sb.sz - c.common) >= 0.2
+"""
+
+
+def _sql_simhash() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN bs{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32)
+    )
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bs{b}"
+        for b in range(32)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           UNNEST(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}'))
+             AS token
+    FROM documents
+  )
+), bits AS (
+  SELECT doc_id, {bit_sums} FROM t GROUP BY doc_id
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def _sql_quality_score() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+SELECT doc_id,
+  CAST(len(arr) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_actual,
+  round(len(list_filter(arr, t -> NOT regexp_full_match(t,
+        '[A-Za-z0-9_-]+')))::DOUBLE / greatest(len(arr), 1), 6)
+    AS punct_ratio,
+  round(len(list_filter(arr, t -> lower(t) IN ({sw})))::DOUBLE
+        / greatest(len(arr), 1), 6) AS stopword_ratio,
+  round(list_sum(list_transform(arr, t -> length(t)))::DOUBLE
+        / greatest(len(arr), 1), 6) AS mean_token_len
+FROM (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '{SQL_TOKEN_PATTERN}') AS arr
+  FROM documents
+)
+"""
+
+
+def _sql_ann_topk() -> str:
+    return """
+WITH scored AS (
+  SELECT q.vec_id AS q, c.vec_id AS c,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 100
+), ranked AS (
+  SELECT q, c, cos,
+         CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, c ASC)
+              AS BIGINT) AS rk
+  FROM scored
+)
+SELECT q, c, cos, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def _sql_events_json() -> str:
+    return """
+SELECT event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+FROM events
+GROUP BY event_type
+"""
+
+
+def _sql_sequential_split() -> str:
+    return """
+WITH n AS (SELECT count(*) AS total FROM documents),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) AS rn,
+         (SELECT total FROM n) AS total
+  FROM documents
+)
+SELECT CASE WHEN rn <= CAST(total * 0.7 AS BIGINT) THEN 'train'
+            WHEN rn <= CAST(total * 0.7 AS BIGINT)
+                     + CAST(total * 0.15 AS BIGINT) THEN 'dev'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM ranked
+GROUP BY 1
+"""
+
+
+def _sql_shuffled_split() -> str:
+    return """
+WITH n AS (SELECT count(*) AS total FROM documents),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42') ASC, doc_id ASC
+         ) AS rn,
+         (SELECT total FROM n) AS total
+  FROM documents
+)
+SELECT CASE WHEN rn <= CAST(total * 0.7 AS BIGINT) THEN 'train'
+            WHEN rn <= CAST(total * 0.7 AS BIGINT)
+                     + CAST(total * 0.15 AS BIGINT) THEN 'dev'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(doc_id) AS doc_id_sum
+FROM ranked
+GROUP BY 1
+"""
+
+
+def _sql_corpus_union() -> str:
+    return f"""
+SELECT DISTINCT tag FROM (
+  SELECT tag FROM ({_TAGS_CTE}) WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT tag FROM ({_TAGS_CTE}) WHERE doc_id % 2 = 1
+) WHERE tag <> 'O'
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "tokenize_counts": q_tokenize_counts,
+        "bio_tags": q_bio_tags,
+        "bio_spans": q_bio_spans,
+        "entity_type_counts": q_entity_type_counts,
+        "tag_distribution": q_tag_distribution,
+        "entity_length_stats": q_entity_length_stats,
+        "distinct_types": q_distinct_types,
+        "vocab_build": q_vocab_build,
+        "char_inventory": q_char_inventory,
+        "tag_map": q_tag_map,
+        "corpus_stats": q_corpus_stats,
+        "class_distribution_cube": q_class_distribution_cube,
+        "top_words": q_top_words,
+        "vocab_lookup": q_vocab_lookup,
+        "token_accuracy": q_token_accuracy,
+        "confusion_matrix": q_confusion_matrix,
+        "macro_prf": q_macro_prf,
+        "per_class_report": q_per_class_report,
+        "eval_join": q_eval_join,
+        "entity_names": q_entity_names,
+        "cooc_triples": q_cooc_triples,
+        "cooc_counts": q_cooc_counts,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_fingerprint,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "quality_score": q_quality_score,
+        "ann_topk": q_ann_topk,
+        "events_json": q_events_json,
+        "sequential_split": q_sequential_split,
+        "shuffled_split": q_shuffled_split,
+        "corpus_union": q_corpus_union,
+        # KG pipeline stages over the repo-shaped input (rows-only checks:
+        # Arrow UDFs + iterative CC are not SQL-expressible)
+        "kg_mentions": q_kg_mentions,
+        "kg_linked": q_kg_linked,
+        "kg_canonical": q_kg_canonical,
+        "lsh_topk": q_lsh_topk,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "tokenize_counts": _sql_tokenize_counts(),
+        "bio_tags": _sql_bio_tags(),
+        "bio_spans": _sql_bio_spans(),
+        "entity_type_counts": _sql_entity_type_counts(),
+        "tag_distribution": _sql_tag_distribution(),
+        "entity_length_stats": _sql_entity_length_stats(),
+        "distinct_types": _sql_distinct_types(),
+        "vocab_build": _sql_vocab_build(),
+        "char_inventory": _sql_char_inventory(),
+        "tag_map": _sql_tag_map(),
+        "corpus_stats": _sql_corpus_stats(),
+        "class_distribution_cube": _sql_class_distribution_cube(),
+        "top_words": _sql_top_words(),
+        "vocab_lookup": _sql_vocab_lookup(),
+        "token_accuracy": _sql_token_accuracy(),
+        "confusion_matrix": _sql_confusion_matrix(),
+        "macro_prf": _sql_macro_prf(),
+        "per_class_report": _sql_per_class_report(),
+        "eval_join": _sql_eval_join(),
+        "entity_names": _sql_entity_names(),
+        "cooc_triples": _sql_cooc_triples(),
+        "cooc_counts": _sql_cooc_counts(),
+        "dedup_exact": _sql_dedup_exact(),
+        "doc_fingerprint": _sql_fingerprint(),
+        "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+        "ngram_jaccard": _sql_ngram_jaccard(),
+        "simhash": _sql_simhash(),
+        "quality_score": _sql_quality_score(),
+        "ann_topk": _sql_ann_topk(),
+        "events_json": _sql_events_json(),
+        "sequential_split": _sql_sequential_split(),
+        "shuffled_split": _sql_shuffled_split(),
+        "corpus_union": _sql_corpus_union(),
+    }

@@ -1,0 +1,73 @@
+"""S1: JNLPBA CoNLL TSV scan (utils/fonctions.py:17-59).
+
+Format: one `token\tlabel` per line; blank line = sentence boundary;
+`-DOCSTART-` lines skipped; train/devel/test files concatenated (U1).
+
+Distributed formulation: `spark.read.text` preserves no global order, so we
+recover it from (file, line offset) — each input file is read with a
+monotonically increasing per-file line number via zipWithIndex-free SQL:
+a window over a stable synthetic order column materialized by
+`row_number()` per file partition of the text source.  Sentence ids are a
+running sum of blank-line markers (W2 sessionization).  For the ~100 TB
+case the per-file windows parallelize across files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def read_conll(spark: SparkSession, path: str) -> DataFrame:
+    """(file, sent_id, tokens ARRAY<STRING>, labels ARRAY<STRING>) — the
+    canonical D2 sentence shape (one StructType, no dual-format sniffing)."""
+    raw = (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col("value").alias("line"),
+        )
+    )
+    # per-file line order: monotonically_increasing_id is monotonic within a
+    # partition and text splits preserve in-file order per partition; for
+    # strict correctness we also carry the partition id in the sort key.
+    raw = raw.withColumn("_lid", F.monotonically_increasing_id())
+    w = Window.partitionBy("file").orderBy("_lid")
+    lines = raw.withColumn(
+        "is_blank", (F.trim("line") == "").cast("int")
+    ).withColumn(
+        "sent_id",
+        F.sum("is_blank").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    toks = (
+        lines.where(
+            (F.col("is_blank") == 0)
+            & ~F.col("line").startswith("-DOCSTART-")
+        )
+        .withColumn("token", F.split("line", "\t")[0])
+        .withColumn("label", F.coalesce(F.split("line", "\t")[1], F.lit("O")))
+    )
+    return (
+        toks.groupBy("file", "sent_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_lid", "token", "label")))
+            .alias("e")
+        )
+        .select(
+            "file", "sent_id",
+            F.expr("transform(e, x -> x.token)").alias("tokens"),
+            F.expr("transform(e, x -> x.label)").alias("labels"),
+        )
+    )
+
+
+def conll_classes(sentences: DataFrame) -> DataFrame:
+    """Distinct label universe (classes.txt twin)."""
+    return (
+        sentences.select(F.explode("labels").alias("label"))
+        .distinct()
+        .orderBy("label")
+    )

@@ -1,0 +1,108 @@
+"""Scaling evidence for the north rule's two-cluster-size criterion.
+
+No real cluster exists in this sandbox, so (per the driver instruction) the
+same job runs at two parallelism levels — local[8] vs local[32] — on the
+same input, and we report throughput at both plus scaling efficiency
+  eff = (T_N / T_4N) / 4
+Target >= 0.8 (BASELINE.json).
+
+The job is the full extract->tag->span-merge->triples path over the sf0.1
+documents corpus replicated REPL_FACTOR x (so each run has minutes of real
+parallel work and fixed costs don't dominate), pre-split into many
+partitions exactly as a 100 TB table's file splits would be.
+
+Usage: python scripts/scaling_bench.py [--cpus 8] (single measurement,
+prints JSON) or no args (runs both in subprocesses, prints summary JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPL_FACTOR = int(os.environ.get("SCALING_REPL", "8"))
+
+
+def measure(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from biomedical_ner_spark.operators import spans
+    from biomedical_ner_spark.operators.triples import triples as make_triples
+    from biomedical_ner_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = docs
+    for i in range(1, REPL_FACTOR):
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    big = big.repartition(max(4 * cpus, 64)).persist()
+    n_docs = big.count()
+
+    # warm codegen/JVM with a tiny slice so steady-state is measured
+    spans.mentions(big.limit(100)).count()
+
+    t0 = time.time()
+    m = spans.mentions(big).persist()
+    n_mentions = m.count()
+    toks = spans.doc_tokens(big).select("doc_id", "tokens")
+    n_triples = make_triples(toks, m).count()
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "wall_sec": round(wall, 2),
+        "n_docs": n_docs,
+        "n_mentions": n_mentions,
+        "n_triples": n_triples,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "triples_per_sec": round(n_triples / wall, 1),
+    }
+
+
+def main() -> None:
+    if "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        print("RESULT " + json.dumps(measure(cpus)))
+        return
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+        if not line:
+            print(out.stdout[-2000:], out.stderr[-2000:])
+            raise SystemExit(f"run at {cpus} cpus failed")
+        results[cpus] = json.loads(line[-1][len("RESULT "):])
+    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    eff = (t8 / t32) / (32 / 8)
+    summary = {
+        "job": "extract+triples over sf0.1 documents x" + str(REPL_FACTOR),
+        "local8": results[8],
+        "local32": results[32],
+        "speedup_8_to_32": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary, indent=2))
+    with open("/root/repo/BENCH_SCALING.json", "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

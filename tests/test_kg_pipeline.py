@@ -1,0 +1,125 @@
+"""End-to-end KG pipeline tests: sha invariant, manifest lineage, resume
+(SURVEY.md §5.2.5), and connected-components correctness vs union-find."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedical_ner_spark.operators.canonicalize import connected_components
+from biomedical_ner_spark.plans import manifest as mf
+from biomedical_ner_spark.plans.kg_pipeline import prepare_input, run_kg_pipeline
+from biomedical_ner_spark.sources.repos import synthesize_repos
+
+
+@pytest.fixture(scope="module")
+def repos(spark):
+    return synthesize_repos(spark, n_files=300, seed=42)
+
+
+def test_pipeline_runs_and_sha_invariant(spark, repos, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_out"))
+    summary = run_kg_pipeline(spark, repos, out, run_id="t1", n_buckets=4)
+    assert summary["stages"]["mentions"] > 0
+    assert summary["stages"]["relations"] > 0
+    assert summary["stages"]["entities"] > 0
+
+    # per-row sha invariant: every relation's content_sha equals the sha256
+    # of its source document content
+    src = prepare_input(repos, 4).select(
+        "doc_id", F.col("content_sha").alias("src_sha")
+    )
+    rel = spark.read.parquet(f"{out}/relations")
+    joined = rel.join(src, "doc_id")
+    assert joined.where(F.col("content_sha") != F.col("src_sha")).count() == 0
+    # manifest: all stage/bucket cells present and sha_ok
+    m = mf.read_manifest(spark, f"{out}/manifest")
+    assert m.where(~F.col("sha_ok")).count() == 0
+    assert m.select("stage").distinct().count() == 3
+    assert m.count() == 12  # 3 stages x 4 buckets
+
+
+def test_pipeline_resume_produces_identical_output(spark, repos,
+                                                   tmp_path_factory):
+    out_full = str(tmp_path_factory.mktemp("kg_full"))
+    run_kg_pipeline(spark, repos, out_full, run_id="r", n_buckets=4)
+
+    # simulate a crash after the mentions stage of buckets {0,1}: run the
+    # mentions stage only for those buckets by pre-seeding the manifest of a
+    # fresh dir with a partial run, then resume
+    out_part = str(tmp_path_factory.mktemp("kg_part"))
+    src = prepare_input(repos, 4)
+    from biomedical_ner_spark.operators import spans
+
+    part = src.where(F.col("bucket").isin([0, 1]))
+    m = spans.extract_mentions_arrow(
+        part, text_col="content", id_col="doc_id", sha_col="content_sha"
+    ).join(src.select("doc_id", "bucket", "repo", "path", "commit", "lang"),
+           "doc_id")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    m.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out_part}/mentions"
+    )
+    mf.append_rows(
+        spark, f"{out_part}/manifest",
+        mf.stage_counters("r", "mentions", {0: 1, 1: 1}, {0: 1, 1: 1},
+                          {0: True, 1: True}),
+    )
+    # resume: completes buckets 2,3 for mentions + all later stages
+    run_kg_pipeline(spark, repos, out_part, run_id="r", n_buckets=4)
+
+    for table in ("relations", "entities"):
+        a = spark.read.parquet(f"{out_full}/{table}")
+        b = spark.read.parquet(f"{out_part}/{table}")
+        cols = sorted(a.columns)
+        assert sorted(b.columns) == cols
+        assert a.count() == b.count()
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+        assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+    # no duplicate manifest cells for completed buckets
+    man = mf.read_manifest(spark, f"{out_part}/manifest")
+    dup = (
+        man.groupBy("run_id", "stage", "bucket")
+        .count().where(F.col("count") > 1)
+    )
+    assert dup.count() == 0
+
+
+def test_connected_components_vs_union_find(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(60)]
+    edges = set()
+    for _ in range(70):
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for n in nodes:
+        r = find(n)
+        want.setdefault(r, set()).add(n)
+    # canonical label = min member
+    want_label = {n: min(members) for members in want.values() for n in members}
+
+    edf = spark.createDataFrame(sorted(edges), "src STRING, dst STRING")
+    comp = connected_components(edf, spark)
+    got = {r.node: r.component for r in comp.collect()}
+    touched = {n for e in edges for n in e}
+    assert set(got) == touched
+    for n in touched:
+        assert got[n] == want_label[n], n
