@@ -352,6 +352,21 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), k=5, n_queries=100)
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic binary media -> Arrow decode/feature
+    stage (deterministic fake codec; real codecs plug in, see
+    operators/multimodal.py). Rows-only check: binary payloads + pandas
+    UDFs are not DuckDB-expressible."""
+    from .operators import multimodal as mm
+
+    media = mm.synth_media(spark, n=96)
+    return mm.extract_features(media).drop("feat").join(
+        mm.sample_frames(media).groupBy("media_id").agg(
+            F.count(F.lit(1)).alias("n_frames")),
+        "media_id", "left",
+    ).na.fill({"n_frames": 0})
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -880,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked": q_kg_linked,
         "kg_canonical": q_kg_canonical,
         "lsh_topk": q_lsh_topk,
+        "media_features": q_media_features,
     }
 
 

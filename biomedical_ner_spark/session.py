@@ -28,6 +28,13 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # local-mode shuffle files default to /tmp (a ~135 MB/s virtual disk
+    # here); a real cluster node has fast local SSD — emulate with tmpfs so
+    # benchmarks measure the engine, not the sandbox disk
+    local_dir = None
+    if os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -43,6 +50,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
