@@ -41,16 +41,18 @@ def timed(fn):
 
 
 def main() -> None:
+    # >= 4 partitions/core: undersized partition counts measured severe
+    # cache/GC contention at high thread counts (scripts/scale_probe.py)
     spark = get_spark(
         app_name="bioner-bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=max(CPUS, 16),
+        shuffle_partitions=max(4 * CPUS, 32),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        .repartition(CPUS * 2)
+        .repartition(max(4 * CPUS, 32))
         .persist()
     )
     n_docs = docs.count()

@@ -44,10 +44,16 @@ def measure(cpus: int) -> dict:
     from biomedical_ner_spark.operators.triples import triples as make_triples
     from biomedical_ner_spark.session import get_spark
 
+    # Partition counts are FIXED across cluster sizes (a real table's file
+    # splits don't change when the cluster grows); 256 = 8x the largest
+    # tested parallelism.  Undersized partition counts (2x cores) measured
+    # pathological cache/GC contention at local[32] (see scale_probe.py:
+    # mentions+persist 137s at 64 parts vs 18s at 256).
+    parts = int(os.environ.get("SCALING_PARTS", "256"))
     spark = get_spark(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(2 * cpus, 16),
+        shuffle_partitions=parts,
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -56,7 +62,7 @@ def measure(cpus: int) -> dict:
         big = big.unionByName(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
         )
-    big = big.repartition(max(4 * cpus, 64)).persist()
+    big = big.repartition(parts).persist()
     n_docs = big.count()
 
     # warm codegen/JVM with a tiny slice so steady-state is measured
