@@ -1,0 +1,95 @@
+"""Embedding artifacts (SURVEY.md S4/J4/S8, D11).
+
+The reference trains/loads gensim Word2Vec/FastText/BioWordVec models and
+builds an embedding matrix per vocab word: pretrained vector if present,
+else a seeded random vector (streamlit_utils.py:42-59,
+utils/fonctions.py:239-273).  Distributed twin:
+
+* vectors are a `(word, vector ARRAY<FLOAT>)` dim table (parquet) — a
+  gensim KeyedVectors export drops in via `load_gensim_vectors` (gated:
+  gensim absent in this container);
+* the matrix build is a **broadcast left join** vocab x vectors with a
+  deterministic md5-seeded fallback (Spark's rand(seed) is
+  partition-nondeterministic under retries; per-row seeded hashing is not).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+EMB_DIM = 200  # reference dimension (README.md:233-244)
+
+
+def seeded_vector(word: str, dim: int = EMB_DIM, scale: float = 0.1) -> list[float]:
+    """Deterministic fallback vector ~ the reference's N(0, 0.1) init
+    (streamlit_utils.py:50-59), seeded from the word so retries agree."""
+    h = hashlib.md5(f"emb:{word}".encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+    return [float(x) for x in (rng.standard_normal(dim) * scale)]
+
+
+def load_gensim_vectors(spark: SparkSession, path: str,
+                        binary: bool = False) -> DataFrame:
+    """S4: gensim model -> (word, vector) dim table. Gated import."""
+    try:
+        from gensim.models import KeyedVectors  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "gensim is not installed in this container; export the model to "
+            "a (word, vector) parquet offline and read it with "
+            "spark.read.parquet instead"
+        ) from e
+    kv = KeyedVectors.load_word2vec_format(path, binary=binary)
+    rows = [(w, [float(x) for x in kv[w]]) for w in kv.index_to_key]
+    return spark.createDataFrame(rows, "word STRING, vector ARRAY<FLOAT>")
+
+
+def build_embedding_matrix(vocab: DataFrame, vectors: DataFrame | None,
+                           spark: SparkSession,
+                           dim: int = EMB_DIM) -> DataFrame:
+    """J4/D11: (word, id, vector) — pretrained vector if present, seeded
+    deterministic fallback otherwise; PAD (id 0) is the zero vector.
+
+    The vectors side is broadcast (~10 MB at reference scale); the fallback
+    runs vectorized in one pandas UDF over only the missing rows.
+    """
+    reserved = spark.createDataFrame(
+        [("<PAD>", 0), ("<UNK>", 1), ("<NUM>", 2)], "word STRING, id INT"
+    )
+    full = reserved.unionByName(vocab.select("word", "id"))
+    if vectors is not None:
+        j = full.join(F.broadcast(vectors), "word", "left")
+    else:
+        j = full.withColumn("vector", F.lit(None).cast("array<float>"))
+
+    @pandas_udf("array<float>")
+    def fallback(words, ids, vecs):
+        import pandas as pd
+
+        out = []
+        for w, i, v in zip(words, ids, vecs):
+            if v is not None and len(v) == dim:
+                out.append(list(v))
+            elif i == 0:
+                out.append([0.0] * dim)  # PAD = zeros (streamlit_utils.py:49)
+            else:
+                out.append(seeded_vector(w, dim))
+        return pd.Series(out)
+
+    return j.select(
+        "word", "id", fallback("word", "id", "vector").alias("vector")
+    )
+
+
+def write_vocab_tables(vocab: DataFrame, char_vocab: DataFrame,
+                       tag_map: DataFrame, base_path: str) -> None:
+    """S8: persist the dim tables (the reference pickles 4 dicts,
+    JNLPBA.ipynb cc[10]; we write parquet dim tables)."""
+    vocab.write.mode("overwrite").parquet(f"{base_path}/vocab")
+    char_vocab.write.mode("overwrite").parquet(f"{base_path}/char_vocab")
+    tag_map.write.mode("overwrite").parquet(f"{base_path}/tag_map")
