@@ -71,8 +71,17 @@ def _tfidf_cosine(a: str, b: str, idf: dict[str, float]) -> float:
 
 def link_mentions(mentions_df: DataFrame, spark: SparkSession,
                   text_col: str = "text") -> DataFrame:
-    """mentions + (cui, link_score, linked): broadcast candidate join,
-    Arrow-UDF re-rank, top-1 per mention window."""
+    """mentions + (cui, link_score, linked).
+
+    Scale shape: the link score is a pure function of (surface, alias,
+    mention_type), so candidate generation + re-ranking runs over the
+    DISTINCT (surface, type) pairs — a tiny frame even at 100 TB (bounded
+    by vocabulary, not corpus) — and the chosen top-1 link broadcast-joins
+    back onto the mention stream.  The full mention table is touched by
+    exactly one narrow projection and one broadcast hash join: no window,
+    no shuffle of the big side, and the pandas-UDF scoring cost is
+    per-unique-surface, not per-mention.
+    """
     aliases = alias_dim(spark)
     alias_rows = [(r.alias, r.cui, r.entity_type, r.weight)
                   for r in aliases.collect()]
@@ -88,15 +97,15 @@ def link_mentions(mentions_df: DataFrame, spark: SparkSession,
     b_idf = sc.broadcast(idf)
     b_vecs = sc.broadcast(alias_vecs)
 
-    key_cols = ["doc_id", "start_position", "end_position"]
     m = mentions_df.withColumn("_surface", F.lower(F.col(text_col)))
-    m = m.withColumn("_block", F.split("_surface", " ")[0])
+    surfaces = m.select("_surface", "type").distinct()
+    surfaces = surfaces.withColumn("_block", F.split("_surface", " ")[0])
     cand_dim = (
         aliases
         .withColumn("_block", F.split("alias", " ")[0])
         .withColumnRenamed("entity_type", "_alias_type")
     )
-    cand = m.join(F.broadcast(cand_dim), on="_block", how="left")
+    cand = surfaces.join(F.broadcast(cand_dim), on="_block", how="left")
 
     @pandas_udf("double")
     def rerank(surface: pd.Series, alias: pd.Series, alias_type: pd.Series,
@@ -121,14 +130,18 @@ def link_mentions(mentions_df: DataFrame, spark: SparkSession,
     scored = cand.withColumn(
         "link_score", rerank("_surface", "alias", "_alias_type", "type", "weight")
     )
-    w = Window.partitionBy(*key_cols).orderBy(F.desc("link_score"), F.asc("cui"))
-    top1 = (
+    w = Window.partitionBy("_surface", "type").orderBy(
+        F.desc("link_score"), F.asc("cui")
+    )
+    link_map = (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .drop("_rk", "_alias_type", "weight", "alias", "_block")
-    )
-    return (
-        top1.withColumn("linked", F.col("cui").isNotNull())
+        .select(
+            "_surface", "type",
+            F.col("cui"),
+            F.col("link_score"),
+        )
+        .withColumn("linked", F.col("cui").isNotNull())
         .withColumn(
             "cui",
             F.coalesce(
@@ -140,5 +153,5 @@ def link_mentions(mentions_df: DataFrame, spark: SparkSession,
                 ),
             ),
         )
-        .drop("_surface")
     )
+    return m.join(F.broadcast(link_map), ["_surface", "type"]).drop("_surface")
