@@ -98,8 +98,12 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3,
     md5(i || shingle) over the doc's shingles.  md5-hex min is a valid
     min-wise hash and is engine-portable for the DuckDB oracle."""
     sh = _shingles(docs, text_col, n)
-    hashed = sh.select(
-        "doc_id",
+    # hash each DISTINCT shingle once (vocabulary-bounded, not corpus-
+    # bounded), broadcast the tiny (shingle, hash_idx, h) dim back onto the
+    # doc-shingle pairs: md5 cost drops from O(rows x n_hashes) to
+    # O(distinct_shingles x n_hashes)
+    dim = sh.select("shingle").distinct().select(
+        "shingle",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_hashes - 1}),"
@@ -107,9 +111,11 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3,
                 f" 'h', md5(concat(cast(i AS STRING), ':', shingle))))"
             )
         ).alias("e"),
-    ).select("doc_id", "e.hash_idx", "e.h")
-    return hashed.groupBy("doc_id", "hash_idx").agg(
-        F.min("h").alias("minhash")
+    ).select("shingle", "e.hash_idx", "e.h")
+    return (
+        sh.join(F.broadcast(dim), "shingle")
+        .groupBy("doc_id", "hash_idx")
+        .agg(F.min("h").alias("minhash"))
     )
 
 
@@ -150,14 +156,22 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     toks = F.expr(
         f"regexp_extract_all(lower({text_col}), '{SQL_TOKEN_PATTERN}', 0)"
     )
-    t = docs.select("doc_id", F.explode(toks).alias("token"))
-    t = t.withColumn(
+    # count token instances per doc, hash each DISTINCT token once, join the
+    # broadcast (token, h) dim: per-bit sums become count-weighted
+    t = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dim = t.select("token").distinct().withColumn(
         "h", F.expr("cast(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)")
     )
+    t = t.join(F.broadcast(dim), "token")
     bit_sums = t.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
             ).alias(f"b{b}")
             for b in range(bits)
         ]
