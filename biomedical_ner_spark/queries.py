@@ -352,6 +352,44 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), k=5, n_queries=100)
 
 
+def q_canonical_surfaces(spark, sf_dir):
+    """Cross-engine check of the connected-components operator itself:
+    nodes = md5-derived surface cuis from bio_spans, edges = surface pairs
+    sharing a head token, component = min cui (large-star/small-star on the
+    Spark side, recursive min-label CTE on the DuckDB side)."""
+    m = _mentions(spark, sf_dir)
+    surf = (
+        m.select(F.lower("text").alias("surface"), "type")
+        .distinct()
+        .withColumn(
+            "cui",
+            F.concat(
+                F.lit("C"),
+                F.upper(F.substring(
+                    F.md5(F.concat_ws(":", "type", "surface")), 1, 8)),
+            ),
+        )
+        .withColumn("head", F.split("surface", " ")[0])
+    )
+    a = surf.select("head", F.col("cui").alias("src"))
+    b = surf.select("head", F.col("cui").alias("dst"))
+    edges = (
+        a.join(b, "head").where(F.col("src") < F.col("dst"))
+        .select("src", "dst").distinct()
+    )
+    from .operators.canonicalize import connected_components
+
+    comp = connected_components(edges, spark)
+    return (
+        surf.select("surface", "type", "cui")
+        .join(comp, surf.cui == comp.node, "left")
+        .select(
+            "surface", "type", "cui",
+            F.coalesce("component", "cui").alias("canonical_id"),
+        )
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic binary media -> Arrow decode/feature
     stage (deterministic fake codec; real codecs plug in, see
@@ -839,6 +877,35 @@ GROUP BY 1
 """
 
 
+def _sql_canonical_surfaces() -> str:
+    return f"""
+WITH surf AS (
+  SELECT surface, type,
+         'C' || upper(substr(md5(type || ':' || surface), 1, 8)) AS cui
+  FROM (
+    SELECT DISTINCT lower(text) AS surface, type FROM ({_SPANS_CTE})
+  )
+), heads AS (
+  SELECT surface, type, cui, string_split(surface, ' ')[1] AS head FROM surf
+), edges AS (
+  SELECT DISTINCT a.cui AS src, b.cui AS dst
+  FROM heads a JOIN heads b ON a.head = b.head AND a.cui < b.cui
+), bidir AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach AS (
+  WITH RECURSIVE r(node, comp) AS (
+    SELECT src, src FROM bidir
+    UNION
+    SELECT e.dst, r.comp FROM r JOIN bidir e ON e.src = r.node
+  )
+  SELECT node, min(comp) AS component FROM r GROUP BY node
+)
+SELECT s.surface, s.type, s.cui,
+       coalesce(rc.component, s.cui) AS canonical_id
+FROM surf s LEFT JOIN reach rc ON s.cui = rc.node
+"""
+
+
 def _sql_corpus_union() -> str:
     return f"""
 SELECT DISTINCT tag FROM (
@@ -894,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_linked": q_kg_linked,
         "kg_canonical": q_kg_canonical,
+        "canonical_surfaces": q_canonical_surfaces,
         "lsh_topk": q_lsh_topk,
         "media_features": q_media_features,
     }
@@ -934,4 +1002,5 @@ def oracle_sql() -> dict[str, str]:
         "sequential_split": _sql_sequential_split(),
         "shuffled_split": _sql_shuffled_split(),
         "corpus_union": _sql_corpus_union(),
+        "canonical_surfaces": _sql_canonical_surfaces(),
     }
