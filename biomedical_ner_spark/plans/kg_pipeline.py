@@ -40,7 +40,15 @@ def _dyn_overwrite(df: DataFrame, path: str) -> None:
         df.sparkSession.conf
         .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
-    df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # cluster rows by bucket before the partitioned write: without this a
+    # 128-partition upstream writes up to 128 files into EVERY bucket dir
+    # (2048 tiny files, 4x the bytes from lost row-group clustering, and
+    # every downstream stage pays the open/footer cost; measured 97s -> 35s
+    # on the 20k-file stress). One file per bucket is correct here because
+    # n_buckets is the resume granularity; at petabyte scale raise
+    # n_buckets, not files-per-bucket.
+    df.repartition(F.col("bucket")).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(path)
 
 
 def _counts_by_bucket(df: DataFrame) -> dict[int, int]:
@@ -80,8 +88,11 @@ def run_kg_pipeline(
     src = prepare_input(repos, n_buckets).persist()
     keep = ["doc_id", "bucket", "repo", "path", "commit", "lang", "content_sha"]
 
+    import time as _time
+
     all_buckets = set(range(n_buckets))
-    summary: dict = {"run_id": run_id, "stages": {}}
+    summary: dict = {"run_id": run_id, "stages": {}, "stage_walls": {}}
+    _t0 = _time.time()
 
     # ---- stage 1: mentions -------------------------------------------------
     done = mf.done_buckets(spark, manifest_path, run_id, "mentions") if resume else set()
@@ -119,6 +130,8 @@ def run_kg_pipeline(
         )
     mentions_df = spark.read.parquet(f"{out_dir}/mentions")
     summary["stages"]["mentions"] = mentions_df.count()
+    summary["stage_walls"]["mentions"] = round(_time.time() - _t0, 2)
+    _t0 = _time.time()
 
     # ---- stage 2: linking --------------------------------------------------
     done = mf.done_buckets(spark, manifest_path, run_id, "linked") if resume else set()
@@ -139,6 +152,8 @@ def run_kg_pipeline(
         )
     linked_df = spark.read.parquet(f"{out_dir}/linked")
     summary["stages"]["linked"] = linked_df.count()
+    summary["stage_walls"]["linked"] = round(_time.time() - _t0, 2)
+    _t0 = _time.time()
 
     # ---- stage 3: canonicalize + triples + materialize ---------------------
     done = mf.done_buckets(spark, manifest_path, run_id, "graph") if resume else set()
@@ -222,6 +237,7 @@ def run_kg_pipeline(
     summary["stages"]["entities"] = spark.read.parquet(
         f"{out_dir}/entities"
     ).count()
+    summary["stage_walls"]["graph"] = round(_time.time() - _t0, 2)
     summary["manifest"] = mf.read_manifest(spark, manifest_path).where(
         F.col("run_id") == run_id
     ).count()
