@@ -331,10 +331,18 @@ def q_corpus_union(spark, sf_dir):
 
 
 def q_kg_mentions(spark, sf_dir):
+    """The ARROW extraction path over the repo-shaped input, value-checked
+    against the DuckDB window-SQL oracle (scalar columns; arrays stay in
+    the pipeline)."""
     repos = repos_from_documents(_docs(spark, sf_dir))
-    return spans.extract_mentions_arrow(
+    m = spans.extract_mentions_arrow(
         repos.withColumn("content_sha", F.sha2("content", 256)),
         text_col="content", id_col="doc_id", sha_col="content_sha",
+    )
+    return m.select(
+        "doc_id", "content_sha", "text", "type", "tag",
+        F.col("start_position").cast("bigint").alias("start_position"),
+        F.col("end_position").cast("bigint").alias("end_position"),
     )
 
 
@@ -877,6 +885,23 @@ GROUP BY 1
 """
 
 
+def _sql_kg_mentions() -> str:
+    # repo-shaped view over documents (repos_from_documents twin), then the
+    # same span-merge window SQL over `content`
+    spans_over_repos = bio_spans_window_sql("repos_v", text_col="content")
+    return f"""
+WITH repos_v AS (
+  SELECT doc_id, text AS content, sha256(text) AS content_sha
+  FROM documents
+)
+SELECT s.doc_id, r.content_sha, s.text, s.type, s.tag,
+       CAST(s.start_position AS BIGINT) AS start_position,
+       CAST(s.end_position AS BIGINT) AS end_position
+FROM ({spans_over_repos}) s
+JOIN repos_v r ON s.doc_id = r.doc_id
+"""
+
+
 def _sql_canonical_surfaces() -> str:
     return f"""
 WITH surf AS (
@@ -1003,4 +1028,5 @@ def oracle_sql() -> dict[str, str]:
         "shuffled_split": _sql_shuffled_split(),
         "corpus_union": _sql_corpus_union(),
         "canonical_surfaces": _sql_canonical_surfaces(),
+        "kg_mentions": _sql_kg_mentions(),
     }
