@@ -130,9 +130,12 @@ def main() -> None:
     # best wall per config, and record a burn calibration next to each
     # measurement so drift is visible in the artifact.
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    configs = tuple(
+        int(x) for x in os.environ.get("SCALING_CONFIGS", "2,8,32").split(",")
+    )
     results: dict[int, dict] = {}
     for _ in range(rounds):
-        for cpus in (2, 8, 32):
+        for cpus in configs:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--cpus",
                  str(cpus)],
@@ -147,25 +150,27 @@ def main() -> None:
             if cpus not in results or r["wall_sec"] < results[cpus]["wall_sec"]:
                 results[cpus] = r
     hw = hardware_calibration()
-    t2, t8, t32 = (results[c]["wall_sec"] for c in (2, 8, 32))
-    eff_2_8 = (t2 / t8) / 4
-    eff_8_32 = (t8 / t32) / 4
     summary = {
         "job": "extract+triples over sf0.1 documents x" + str(REPL_FACTOR),
         "hardware_calibration": hw,
-        "local2": results[2],
-        "local8": results[8],
-        "local32": results[32],
-        "scaling_efficiency_2_to_8": round(eff_2_8, 3),
-        "scaling_efficiency_8_to_32": round(eff_8_32, 3),
-        "scaling_efficiency_8_to_32_hw_normalized": round(
-            eff_8_32 / max(hw["hw_parallel_eff_8_to_32"], 1e-9), 3
-        ),
-        "target": 0.8,
-        "pass_N_to_4N": eff_2_8 >= 0.8,
     }
+    for c in configs:
+        summary[f"local{c}"] = results[c]
+    for lo, hi in zip(configs, configs[1:]):
+        eff = (results[lo]["wall_sec"] / results[hi]["wall_sec"]) / (hi / lo)
+        summary[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
+    first_pair = (configs[0], configs[1]) if len(configs) > 1 else None
+    if first_pair and first_pair[1] == 4 * first_pair[0]:
+        summary["target"] = 0.8
+        summary["pass_N_to_4N"] = (
+            summary[f"scaling_efficiency_{first_pair[0]}_to_{first_pair[1]}"]
+            >= 0.8
+        )
     print(json.dumps(summary, indent=2))
-    with open("/root/repo/BENCH_SCALING.json", "w") as f:
+    out_path = os.environ.get(
+        "SCALING_OUT", "/root/repo/BENCH_SCALING.json"
+    )
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
 
 
