@@ -1,63 +1,128 @@
 """Dataset splits (SURVEY.md O3/O4) — deterministic distributed twins of the
 reference's list-slicing splits.
 
-O3 sequential 70/15/15 (JNLPBA.ipynb cc[2]): row_number over a stable order
-(doc_id), threshold filters — NOT randomSplit (nondeterministic under
+O3 sequential 70/15/15 (JNLPBA.ipynb cc[2]): global position in a stable
+order (doc_id), threshold filters — NOT randomSplit (nondeterministic under
 retries).
 
 O4 seeded-shuffle split (utils/fonctionsFaxtText.py:829-840,
 random.seed(42)+shuffle): order by md5(doc_id || ':' || seed) — a
 deterministic permutation identical in Spark and DuckDB, unlike rand(seed)
 which is per-partition nondeterministic under retries (SURVEY.md §4.3.4).
+
+Scale note: global rank is computed with the two-pass bucket-offset pattern —
+a DETERMINISTIC monotone bucket function of the order key (so bucket i holds
+strictly smaller keys than bucket i+1), a per-bucket count aggregate (one row
+per bucket collected to the driver, bounded by shuffle partitions), then a
+per-bucket row_number plus the broadcast cumulative offset. Equivalent to
+``row_number() OVER (ORDER BY key)`` but the corpus never funnels through a
+single task, and the 70/15/15 total falls out of the same per-bucket counts
+(no separate count() pass). Because the bucket function is a pure expression
+(not sampled like repartitionByRange), no persist is needed between the two
+passes: recomputation reproduces identical bucket assignment.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _bucketed_rank(df: DataFrame, bucket: Column,
+                   order_cols: list) -> "tuple[DataFrame, int]":
+    """Attach a global 1-based ``_rn`` in ``order_cols`` order, distributed.
+
+    ``bucket`` must be monotone non-decreasing in the order key. Returns
+    (ranked_df, total_rows).
+    """
+    with_bucket = df.withColumn("_bkt", bucket)
+    counts = {
+        r["_bkt"]: r["n"]
+        for r in with_bucket.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_col = F.element_at(
+        F.create_map(*[F.lit(x) for b in sorted(offsets)
+                       for x in (b, offsets[b])]),
+        F.col("_bkt"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_bkt").orderBy(*order_cols)
+    ranked = (
+        with_bucket.withColumn("_rn", F.row_number().over(w) + offset_col)
+        .drop("_bkt")
+    )
+    return ranked, total
+
+
+def _threshold_select(ranked: DataFrame, total: int, train: float,
+                      dev: float) -> DataFrame:
+    # int() truncation, matching the reference's Python slicing and the
+    # DuckDB oracle's CAST(floor(total*f) AS BIGINT)
+    n_train = int(total * train)
+    n_dev = int(total * dev)
+    return ranked.select(
+        "doc_id",
+        F.when(F.col("_rn") <= n_train, "train")
+        .when(F.col("_rn") <= n_train + n_dev, "dev")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _n_buckets(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
 def sequential_split(docs: DataFrame, train: float = 0.7,
                      dev: float = 0.15) -> DataFrame:
-    """(doc_id, split) by position in doc_id order."""
-    n = docs.count()
-    n_train = int(n * train)
-    n_dev = int(n * dev)
-    w = Window.orderBy("doc_id")
-    return (
-        docs.select("doc_id")
-        .withColumn("_rn", F.row_number().over(w))
-        .select(
-            "doc_id",
-            F.when(F.col("_rn") <= n_train, "train")
-            .when(F.col("_rn") <= n_train + n_dev, "dev")
-            .otherwise("test")
-            .alias("split"),
-        )
+    """(doc_id, split) by position in doc_id order.
+
+    Bucket = uniform slice of the observed [min, max] doc_id range (one tiny
+    agg) — monotone in doc_id, deterministic. Clustered ids skew bucket
+    SIZES, never rank correctness.
+    """
+    base = docs.select("doc_id")
+    nb = _n_buckets(base)
+    lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:  # empty corpus
+        return base.select("doc_id", F.lit("train").alias("split")).limit(0)
+    span = max(int(hi) - int(lo) + 1, 1)
+    bucket = F.least(
+        F.lit(nb - 1),
+        F.floor((F.col("doc_id") - F.lit(int(lo))) * nb / F.lit(span))
+        .cast("int"),
     )
+    ranked, total = _bucketed_rank(base, bucket, [F.col("doc_id")])
+    return _threshold_select(ranked, total, train, dev)
 
 
 def seeded_shuffle_split(docs: DataFrame, seed: int = 42, train: float = 0.7,
                          dev: float = 0.15) -> DataFrame:
-    """(doc_id, split) by position in the md5-permuted order."""
-    n = docs.count()
-    n_train = int(n * train)
-    n_dev = int(n * dev)
-    key = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
-                            F.lit(str(seed))))
-    w = Window.orderBy(key.asc(), F.col("doc_id").asc())
-    return (
-        docs.select("doc_id")
-        .withColumn("_rn", F.row_number().over(w))
-        .select(
-            "doc_id",
-            F.when(F.col("_rn") <= n_train, "train")
-            .when(F.col("_rn") <= n_train + n_dev, "dev")
-            .otherwise("test")
-            .alias("split"),
-        )
+    """(doc_id, split) by position in the md5-permuted order.
+
+    Bucket = top 16 bits of the md5 key (uniform by construction), scaled to
+    the bucket count — monotone in the hex key because the bucket uses the
+    key's leading digits.
+    """
+    base = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                          F.lit(str(seed)))).alias("_key"),
     )
+    nb = _n_buckets(base)
+    bucket = F.floor(
+        F.conv(F.substring("_key", 1, 4), 16, 10).cast("long") * nb / 65536
+    ).cast("int")
+    ranked, total = _bucketed_rank(
+        base, bucket, [F.col("_key").asc(), F.col("doc_id").asc()])
+    return _threshold_select(ranked, total, train, dev).select(
+        "doc_id", "split")
 
 
 def split_counts(split_df: DataFrame) -> DataFrame:

@@ -522,10 +522,13 @@ def _sql_corpus_stats() -> str:
 SELECT d.lang AS split,
        count(DISTINCT t.doc_id) AS n_docs,
        count(*) AS n_tokens,
-       sum(CASE WHEN t.tag <> 'O' THEN 1 ELSE 0 END) AS n_entity_tokens,
-       sum(CASE WHEN t.tag LIKE 'B-%' THEN 1 ELSE 0 END) AS n_b,
-       sum(CASE WHEN t.tag LIKE 'I-%' THEN 1 ELSE 0 END) AS n_i,
-       sum(CASE WHEN t.tag = 'O' THEN 1 ELSE 0 END) AS n_o,
+       CAST(sum(CASE WHEN t.tag <> 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_entity_tokens,
+       CAST(sum(CASE WHEN t.tag LIKE 'B-%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_b,
+       CAST(sum(CASE WHEN t.tag LIKE 'I-%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_i,
+       CAST(sum(CASE WHEN t.tag = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
        round(sum(CASE WHEN t.tag <> 'O' THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS entity_density
 FROM ({_TAGS_CTE}) t JOIN documents d USING (doc_id)
@@ -572,7 +575,8 @@ FROM ({_TAGS_CTE})
 def _sql_token_accuracy() -> str:
     return f"""
 SELECT count(*) AS n_tokens,
-       sum(CASE WHEN pred = target THEN 1 ELSE 0 END) AS n_correct,
+       CAST(sum(CASE WHEN pred = target THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
        round(sum(CASE WHEN pred = target THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS accuracy
 FROM ({_PAIRS_CTE})
@@ -645,7 +649,8 @@ FROM prf
 def _sql_eval_join() -> str:
     return f"""
 SELECT doc_id, count(*) AS n_tokens,
-       sum(CASE WHEN pred = target THEN 1 ELSE 0 END) AS n_correct
+       CAST(sum(CASE WHEN pred = target THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
 FROM ({_PAIRS_CTE})
 GROUP BY doc_id
 """
@@ -837,8 +842,9 @@ SELECT q, c, cos, rk FROM ranked WHERE rk <= 5
 def _sql_events_json() -> str:
     return """
 SELECT event_type, count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum
 FROM events
 GROUP BY event_type
 """
@@ -853,9 +859,9 @@ ranked AS (
          (SELECT total FROM n) AS total
   FROM documents
 )
-SELECT CASE WHEN rn <= CAST(total * 0.7 AS BIGINT) THEN 'train'
-            WHEN rn <= CAST(total * 0.7 AS BIGINT)
-                     + CAST(total * 0.15 AS BIGINT) THEN 'dev'
+SELECT CASE WHEN rn <= CAST(floor(total * 0.7) AS BIGINT) THEN 'train'
+            WHEN rn <= CAST(floor(total * 0.7) AS BIGINT)
+                     + CAST(floor(total * 0.15) AS BIGINT) THEN 'dev'
             ELSE 'test' END AS split,
        count(*) AS n_docs
 FROM ranked
@@ -874,12 +880,12 @@ ranked AS (
          (SELECT total FROM n) AS total
   FROM documents
 )
-SELECT CASE WHEN rn <= CAST(total * 0.7 AS BIGINT) THEN 'train'
-            WHEN rn <= CAST(total * 0.7 AS BIGINT)
-                     + CAST(total * 0.15 AS BIGINT) THEN 'dev'
+SELECT CASE WHEN rn <= CAST(floor(total * 0.7) AS BIGINT) THEN 'train'
+            WHEN rn <= CAST(floor(total * 0.7) AS BIGINT)
+                     + CAST(floor(total * 0.15) AS BIGINT) THEN 'dev'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(doc_id) AS doc_id_sum
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
 FROM ranked
 GROUP BY 1
 """

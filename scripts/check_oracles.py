@@ -18,12 +18,20 @@ ONLY = sys.argv[1:] if len(sys.argv) > 1 else None
 
 def norm_cell(v):
     import datetime
+    import decimal
     import math
 
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
+    # Decimal is deliberately NOT normalized to int/float: the driver's value
+    # hash stringifies DuckDB DECIMAL/HUGEINT results differently from Spark
+    # BIGINT/DOUBLE, so an uncast SUM() oracle must FAIL here too (it failed
+    # the round-1 driver hash while this script reported green). Oracles must
+    # CAST to BIGINT/DOUBLE to match Spark's output type.
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -82,6 +90,7 @@ def main():
         try:
             rel = con.sql(oq[name])
             dcols = rel.columns
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception:
             print(f"[DUCK FAIL ] {name}")
@@ -89,6 +98,13 @@ def main():
             results.append((name, "DUCK_FAIL"))
             continue
         status = []
+        # HUGEINT/DECIMAL oracle columns stringify differently in the
+        # driver's value hash even when the Python values round-trip equal —
+        # catch them at the type level (uncast SUM() etc.)
+        bad_types = [f"{c}:{t}" for c, t in zip(dcols, dtypes)
+                     if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()]
+        if bad_types:
+            status.append(f"DUCKTYPES {bad_types} (CAST the oracle column)")
         if sorted(scols) != sorted(dcols):
             status.append(f"COLS spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
