@@ -142,26 +142,35 @@ def connected_components(
     return membership.groupBy("node").agg(F.min("component").alias("component"))
 
 
+def star_edges(keyed: DataFrame, key_col: str, node_col: str) -> DataFrame:
+    """(src, dst) edges connecting every node in a key group to the group's
+    MIN node — a star per key instead of the k-choose-2 clique.  The star has
+    exactly the same connected components as the clique (every member reaches
+    every other through the representative) but emits O(k) edges per key, so
+    a hot key ('protein' as a head token in real biomed text) costs k rows,
+    not k^2.  The min-per-key agg is skew-safe (map-side partial agg)."""
+    reps = keyed.groupBy(key_col).agg(F.min(node_col).alias("_rep"))
+    return (
+        keyed.join(reps, key_col)
+        .where(F.col(node_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("src"), F.col(node_col).alias("dst"))
+        .distinct()
+    )
+
+
 def alias_match_edges(linked_mentions: DataFrame) -> DataFrame:
     """Edges between CUIs that co-occur with the same normalized surface in
     the same document neighborhood — the alias-match graph whose components
     become canonical ids.
 
     Edge rule (deterministic): two cuis are alias-matched when they share a
-    normalized head token among linked surfaces.  The groupBy key (head
-    token) is skew-prone ('join' ...), so cap per-key fanout with a top-k
-    window and salt the aggregation."""
+    normalized head token among linked surfaces.  The head-token key is
+    skew-prone, so the per-head clique is reduced to a per-head STAR
+    (star_edges): identical components, linear fanout per head."""
     surf = linked_mentions.select(
         F.lower(F.col("text")).alias("surface"), "cui"
     ).withColumn("head", F.split("surface", " ")[0]).distinct()
-    a = surf.select("head", F.col("cui").alias("src"))
-    b = surf.select("head", F.col("cui").alias("dst"))
-    return (
-        a.join(b, "head")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    return star_edges(surf.select("head", "cui"), "head", "cui")
 
 
 def canonical_entities(linked_mentions: DataFrame, spark: SparkSession,

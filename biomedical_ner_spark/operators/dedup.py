@@ -221,22 +221,26 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
-                        id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs.  Brute pair join guarded by a
-    norm-bucket block; at scale swap the blocker for the LSH bucketer in
-    similarity.py (random-hyperplane signs)."""
-    from .similarity import cosine_expr
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_planes: int = 8, n_tables: int = 4,
+                        seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on random-hyperplane LSH
+    buckets (similarity.lsh_candidates): only pairs sharing >=1 sign-bucket
+    are scored — never a cross join.  APPROXIMATE: recall < 1 by LSH design
+    (for cos >= 0.95 with 8 planes x 4 tables, expected pair recall ~0.9;
+    raise n_tables for higher recall).  Scoring is one numpy pass per Arrow
+    batch (similarity.cosine_pandas)."""
+    from .similarity import cosine_pandas, lsh_candidates
 
-    n = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    )
-    a = n.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    b = n.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    cand = lsh_candidates(embeddings, n_planes, n_tables, seed,
+                          id_col, vec_col)
+    va = embeddings.select(F.col(id_col).alias("a"),
+                           F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("b"),
+                           F.col(vec_col).alias("vb"))
     return (
-        a.crossJoin(b)
-        .where(F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(cosine_expr("va", "vb"), 6))
+        cand.join(va, "a").join(vb, "b")
+        .withColumn("cos", F.round(cosine_pandas("va", "vb"), 6))
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )

@@ -6,23 +6,41 @@ the verb-pool token nearest to the subject strictly between the two spans
 names the predicate; otherwise 'co_occurs_with'.
 
 Scale notes: the self-join is an equi-join on the scope key (doc_id), so it
-shuffles once on doc_id; mega-documents (hot keys) are bounded by the
-max_pairs window guard, and AQE skew-join splitting backs it up.
+shuffles once on doc_id.  Pair fanout per scope is quadratic in mentions per
+scope; by default it is bounded upstream by the 100-token sequence
+truncation (<=~50 mentions/doc => <=1225 pairs), and for longer-sequence
+configurations `max_mentions_per_scope` caps mentions per scope with a
+deterministic per-scope window (rank by start_position) BEFORE the join.
+AQE skew-join splitting backs up residual hot scopes.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..lexicon import VERB_POOL, verb_pred_case_sql
 
 
 def cooc_pairs(mentions_df: DataFrame, scope_cols: list[str] | None = None,
-               max_span_gap: int | None = None) -> DataFrame:
+               max_span_gap: int | None = None,
+               max_mentions_per_scope: int | None = None) -> DataFrame:
     """Ordered mention pairs within a scope: subj.start < obj.start
-    (SURVEY.md J8).  Equi-join on the scope key + theta residual."""
+    (SURVEY.md J8).  Equi-join on the scope key + theta residual.
+
+    ``max_mentions_per_scope``: optional quadratic-fanout guard — keeps the
+    first N mentions per scope (by start_position, end_position) so a
+    mega-document contributes at most N*(N-1)/2 pairs."""
     scope_cols = scope_cols or ["doc_id"]
+    if max_mentions_per_scope is not None:
+        w = Window.partitionBy(*scope_cols).orderBy(
+            "start_position", "end_position", "text")
+        mentions_df = (
+            mentions_df.withColumn("_mrk", F.row_number().over(w))
+            .where(F.col("_mrk") <= max_mentions_per_scope)
+            .drop("_mrk")
+        )
     a = mentions_df.select(
         *scope_cols,
         F.col("text").alias("subj_text"),
@@ -86,10 +104,3 @@ def triples(docs_with_tokens: DataFrame, mentions_df: DataFrame,
         "subj_text", "subj_type", "pred", "obj_text", "obj_type",
         "subj_start", "obj_start",
     )
-
-
-def cooc_triples_sql(doc_spans_cte: str) -> str:
-    """DuckDB oracle twin for co-occurrence pairs with the nearest-verb rule
-    applied over a spans CTE that exposes (doc_id, text, type,
-    start_position, end_position) plus a tokens array per doc."""
-    raise NotImplementedError("composed in __spark_entry__ oracle_sql")

@@ -171,7 +171,9 @@ def run_kg_pipeline(
             lm.groupBy("canonical_id")
             .agg(
                 F.min("cui").alias("cui"),
-                F.first("type").alias("entity_type"),
+                # deterministic across runs/retries (resume invariant):
+                # most frequent type, ties broken by lowest value
+                F.mode("type", True).alias("entity_type"),
                 F.min("text").alias("canonical_text"),
                 F.round(F.avg("link_score"), 6).alias("avg_link_score"),
             )

@@ -362,9 +362,11 @@ def q_lsh_topk(spark, sf_dir):
 
 def q_canonical_surfaces(spark, sf_dir):
     """Cross-engine check of the connected-components operator itself:
-    nodes = md5-derived surface cuis from bio_spans, edges = surface pairs
-    sharing a head token, component = min cui (large-star/small-star on the
-    Spark side, recursive min-label CTE on the DuckDB side)."""
+    nodes = md5-derived surface cuis from bio_spans, edges = per-head-token
+    STARS (min cui per head -> members; same components as the clique the
+    DuckDB oracle walks, linear fanout per head), component = min cui
+    (large-star/small-star on the Spark side, recursive min-label CTE on
+    the DuckDB side)."""
     m = _mentions(spark, sf_dir)
     surf = (
         m.select(F.lower("text").alias("surface"), "type")
@@ -379,14 +381,9 @@ def q_canonical_surfaces(spark, sf_dir):
         )
         .withColumn("head", F.split("surface", " ")[0])
     )
-    a = surf.select("head", F.col("cui").alias("src"))
-    b = surf.select("head", F.col("cui").alias("dst"))
-    edges = (
-        a.join(b, "head").where(F.col("src") < F.col("dst"))
-        .select("src", "dst").distinct()
-    )
-    from .operators.canonicalize import connected_components
+    from .operators.canonicalize import connected_components, star_edges
 
+    edges = star_edges(surf.select("head", "cui"), "head", "cui")
     comp = connected_components(edges, spark)
     return (
         surf.select("surface", "type", "cui")
