@@ -410,6 +410,128 @@ def q_media_features(spark, sf_dir):
     ).na.fill({"n_frames": 0})
 
 
+def _scratch(name: str, sf_dir: str) -> str:
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/dev/shm/bns_scratch/{name}_{tag}"
+
+
+def q_conll_scan(spark, sf_dir):
+    """S1 round-trip (utils/fonctions.py:17-59 semantics): render documents
+    as CoNLL TSV blocks (token\\ttag lines, a -DOCSTART- header to exercise
+    the skip rule, blank-line sentence boundaries), write real text files,
+    re-parse with sources.conll.read_conll, and emit per-sentence
+    fingerprints.  Doc identity is intentionally absent from the output (the
+    CoNLL format has none) — the driver compare is order-insensitive, so the
+    multiset of (n_tokens, token-fp, tag-fp) rows proves the parser
+    reconstructed every sentence exactly."""
+    from .sources import conll
+
+    t = _tags(spark, sf_dir)
+    blocks = (
+        t.groupBy("doc_id")
+        .agg(F.expr(
+            "array_join(transform("
+            " array_sort(collect_list(struct(pos, token, tag))),"
+            " x -> concat(x.token, char(9), x.tag)), char(10))"
+        ).alias("body"))
+        .select(F.expr(
+            "concat('-DOCSTART-', char(9), '-X-', char(10), body, char(10))"
+        ).alias("value"))
+    )
+    path = _scratch("conll_scan", sf_dir)
+    blocks.write.mode("overwrite").text(path)
+    sents = conll.read_conll(spark, path)
+    return sents.select(
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("tokens", "|")).alias("tok_fp"),
+        F.md5(F.array_join("labels", "|")).alias("tag_fp"),
+    )
+
+
+# deterministic markup vocabulary for the synthetic NCBI render (S2): these
+# words appear throughout the driver testdata; category is a pure function
+# of the lowercased word so both engines agree
+NCBI_MARKS = {"hash": "Gene", "scan": "Disease", "vector": "Chemical"}
+
+
+def _ncbi_mark_case() -> str:
+    whens = " ".join(
+        f"WHEN lower(t) = '{w}' THEN"
+        f" concat('<category=\"{c}\">', t, '</category>')"
+        for w, c in sorted(NCBI_MARKS.items())
+    )
+    return f"CASE {whens} ELSE t END"
+
+
+def _ncbi_label_case(col: str = "t") -> str:
+    whens = " ".join(
+        f"WHEN lower({col}) = '{w}' THEN 'B-{c}'"
+        for w, c in sorted(NCBI_MARKS.items())
+    )
+    return f"CASE {whens} ELSE 'O' END"
+
+
+def q_ncbi_scan(spark, sf_dir):
+    """S2 round-trip (utils/fonctions.py:61-117 semantics): render documents
+    as `doc_id\\ttitle\\tmarked_text` lines where marker words carry inline
+    <category="...">...</category> markup, write real text files, re-parse
+    with sources.ncbi.read_ncbi (tag strip + char-offset recompute + W3 BIO
+    projection), and verify clean text, token counts, and projected labels
+    per doc against the DuckDB twin.  The clean text is rebuilt from simple
+    word tokens only so the reference's `\\w+|[^\\w\\s]` re-tokenizer
+    round-trips exactly."""
+    from .sources import ncbi
+
+    d = _docs(spark, sf_dir)
+    lines = d.select(F.expr(
+        f"""concat(cast(doc_id AS STRING), char(9),
+                   concat('T', cast(doc_id AS STRING)), char(9),
+                   array_join(transform(
+                     filter(regexp_extract_all(text, '{SQL_TOKEN_PATTERN}', 0),
+                            t -> t RLIKE '^[A-Za-z0-9_]+$'),
+                     t -> {_ncbi_mark_case()}), ' '))"""
+    ).alias("value"))
+    path = _scratch("ncbi_scan", sf_dir)
+    lines.write.mode("overwrite").text(path)
+    parsed = ncbi.read_ncbi(spark, path)
+    return parsed.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("labels", "|")).alias("labels_fp"),
+        F.expr("cast(size(filter(labels, l -> l <> 'O')) AS BIGINT)")
+        .alias("n_mentions"),
+    )
+
+
+def q_export_csv(spark, sf_dir):
+    """S7 round-trip (app.py:932-950 column set): export per-token
+    position/token/tag/type rows through the CSV sink, read the files back
+    with the pinned schema, and value-check against the oracle computing
+    the same rows directly.  CSV conflates NULL and empty string; the app's
+    convention is '' for non-entity types, so the read-back normalizes NULL
+    type to ''."""
+    from .sources import sinks
+
+    t = _tags(spark, sf_dir)
+    path = _scratch("export_csv", sf_dir)
+    sinks.export_csv(t, None, path)
+    back = (
+        spark.read.option("header", True)
+        .schema("doc_id BIGINT, position INT, token STRING,"
+                " tag STRING, type STRING")
+        .csv(path)
+    )
+    return back.select(
+        "doc_id",
+        F.col("position").cast("bigint").alias("position"),
+        "token", "tag",
+        F.coalesce(F.col("type"), F.lit("")).alias("type"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -944,6 +1066,46 @@ SELECT DISTINCT tag FROM (
 """
 
 
+def _sql_conll_scan() -> str:
+    # one row per rendered sentence (= one per doc); doc_id only groups,
+    # never projects — the CoNLL format carries no doc identity
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(token, '|' ORDER BY pos)) AS tok_fp,
+       md5(string_agg(tag, '|' ORDER BY pos)) AS tag_fp
+FROM ({_TAGS_CTE})
+GROUP BY doc_id
+"""
+
+
+def _sql_ncbi_scan() -> str:
+    label_case = _ncbi_label_case("t")
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(text, '{SQL_TOKEN_PATTERN}'),
+                     t -> regexp_full_match(t, '[A-Za-z0-9_]+')) AS toks
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       md5(array_to_string(toks, ' ')) AS clean_md5,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_transform(toks, t -> {label_case}), '|'))
+         AS labels_fp,
+       CAST(len(list_filter(list_transform(toks, t -> {label_case}),
+                            l -> l <> 'O')) AS BIGINT) AS n_mentions
+FROM arr
+"""
+
+
+def _sql_export_csv() -> str:
+    return f"""
+SELECT doc_id, CAST(pos AS BIGINT) AS position, token, tag,
+       {entity_name_case_sql('substr(tag, 3)')} AS type
+FROM ({_TAGS_CTE})
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -984,6 +1146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequential_split": q_sequential_split,
         "shuffled_split": q_shuffled_split,
         "corpus_union": q_corpus_union,
+        # corpus loaders + CSV export as real file round-trips (S1/S2/S7)
+        "conll_scan": q_conll_scan,
+        "ncbi_scan": q_ncbi_scan,
+        "export_csv": q_export_csv,
         # KG pipeline stages over the repo-shaped input (rows-only checks:
         # Arrow UDFs + iterative CC are not SQL-expressible)
         "kg_mentions": q_kg_mentions,
@@ -1030,6 +1196,9 @@ def oracle_sql() -> dict[str, str]:
         "sequential_split": _sql_sequential_split(),
         "shuffled_split": _sql_shuffled_split(),
         "corpus_union": _sql_corpus_union(),
+        "conll_scan": _sql_conll_scan(),
+        "ncbi_scan": _sql_ncbi_scan(),
+        "export_csv": _sql_export_csv(),
         "canonical_surfaces": _sql_canonical_surfaces(),
         "kg_mentions": _sql_kg_mentions(),
     }
