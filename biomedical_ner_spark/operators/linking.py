@@ -39,13 +39,19 @@ def _char_ngrams(s: str, n: int = 3) -> list[str]:
 
 
 def _seeded_vec(key: str, dim: int = EMB_DIM) -> np.ndarray:
-    """Deterministic pseudo-embedding: md5-seeded unit vector (stands in for
-    the Word2Vec/BioWordVec artifact of streamlit_utils.py:42-59; a real
-    KeyedVectors export drops in as the same (word, vector) dim table)."""
-    h = hashlib.md5(key.encode()).digest()
-    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-    v = rng.standard_normal(dim).astype(np.float32)
-    return v / (np.linalg.norm(v) + 1e-9)
+    """Deterministic pseudo-embedding: dim j is md5("key:j") scaled to
+    [-1, 1), then unit-normalized — float64 end to end (stands in for the
+    Word2Vec/BioWordVec artifact of streamlit_utils.py:42-59; a real
+    KeyedVectors export drops in as the same (word, vector) dim table).
+    Deliberately SQL-expressible so the DuckDB kg_linked oracle recomputes
+    the identical vectors: ('0x'||substr(md5(key||':'||j),1,8))::UBIGINT
+    / 2^32 * 2 - 1, normalized with the same +1e-12 epsilon."""
+    x = np.array(
+        [int(hashlib.md5(f"{key}:{j}".encode()).hexdigest()[:8], 16)
+         / 4294967296.0 * 2.0 - 1.0 for j in range(dim)],
+        dtype=np.float64,
+    )
+    return x / (np.linalg.norm(x) + 1e-12)
 
 
 def alias_dim(spark: SparkSession) -> DataFrame:
@@ -69,6 +75,20 @@ def _tfidf_cosine(a: str, b: str, idf: dict[str, float]) -> float:
     return dot / (na * nb + 1e-12)
 
 
+def link_artifacts() -> tuple[list[tuple], dict[str, float]]:
+    """(alias_rows, idf) — the deterministic dictionary artifacts shared by
+    the Spark scorer and the DuckDB kg_linked oracle builder (queries.py),
+    so both engines score against byte-identical inputs."""
+    alias_rows = build_alias_rows()
+    df_counts: dict[str, int] = {}
+    for a, _, _, _ in alias_rows:
+        for g in set(_char_ngrams(a)):
+            df_counts[g] = df_counts.get(g, 0) + 1
+    n_alias = max(len(alias_rows), 1)
+    idf = {g: math.log(1.0 + n_alias / c) for g, c in df_counts.items()}
+    return alias_rows, idf
+
+
 def link_mentions(mentions_df: DataFrame, spark: SparkSession,
                   text_col: str = "text") -> DataFrame:
     """mentions + (cui, link_score, linked).
@@ -83,14 +103,7 @@ def link_mentions(mentions_df: DataFrame, spark: SparkSession,
     per-unique-surface, not per-mention.
     """
     aliases = alias_dim(spark)
-    alias_rows = [(r.alias, r.cui, r.entity_type, r.weight)
-                  for r in aliases.collect()]
-    df_counts: dict[str, int] = {}
-    for a, _, _, _ in alias_rows:
-        for g in set(_char_ngrams(a)):
-            df_counts[g] = df_counts.get(g, 0) + 1
-    n_alias = max(len(alias_rows), 1)
-    idf = {g: math.log(1.0 + n_alias / c) for g, c in df_counts.items()}
+    alias_rows, idf = link_artifacts()
     alias_vecs = {a: _seeded_vec(a) for a, _, _, _ in alias_rows}
 
     sc = spark.sparkContext

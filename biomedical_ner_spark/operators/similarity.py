@@ -133,18 +133,35 @@ def brute_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 100,
     )
 
 
+def md5_planes(seed: int, n_tables: int, n_planes: int,
+               dim: int) -> np.ndarray:
+    """Deterministic hyperplanes: entry (t, p, j) is md5("plane:seed:t:p:j")
+    scaled to [-1, 1) — float64, and deliberately SQL-expressible so the
+    DuckDB lsh_topk oracle recomputes identical planes (uniform-cube
+    directions hash fine for sign-LSH; the recall bound is pytest-asserted
+    vs brute force)."""
+    import hashlib
+
+    P = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for j in range(dim):
+                h = hashlib.md5(
+                    f"plane:{seed}:{t}:{p}:{j}".encode()).hexdigest()
+                P[t, p, j] = int(h[:8], 16) / 4294967296.0 * 2.0 - 1.0
+    return P
+
+
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
                        n_tables: int = 4, seed: int = 42,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
-    """(id, table, bucket): sign-bit LSH.  Hyperplanes are deterministic
-    (seeded numpy, same stream order as the round-1 plan-literal form); ALL
+    """(id, table, bucket): sign-bit LSH over md5-derived hyperplanes; ALL
     tables' buckets for a batch come out of n_tables numpy matmuls inside one
     mapInPandas pass — not planes*tables interpreted HOF folds per row."""
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(first.d) if first else 0
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes = md5_planes(seed, n_tables, n_planes, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -398,12 +398,16 @@ def q_canonical_surfaces(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic binary media -> Arrow decode/feature
     stage (deterministic fake codec; real codecs plug in, see
-    operators/multimodal.py). Rows-only check: binary payloads + pandas
-    UDFs are not DuckDB-expressible."""
+    operators/multimodal.py).  Value-checked: the synthetic payload is a
+    pure function of media_id, so the decoded header fields, byte counts,
+    and frame-sample counts are recomputed by the DuckDB oracle from
+    range(96) alone.  The payload sha256 and the float feature vector are
+    excluded here (DuckDB's sha256 only accepts VARCHAR, not BLOB) — both
+    are value-checked against a Python twin in tests/test_multimodal.py."""
     from .operators import multimodal as mm
 
     media = mm.synth_media(spark, n=96)
-    return mm.extract_features(media).drop("feat").join(
+    return mm.extract_features(media).drop("feat", "sha").join(
         mm.sample_frames(media).groupBy("media_id").agg(
             F.count(F.lit(1)).alias("n_frames")),
         "media_id", "left",
@@ -1027,6 +1031,178 @@ JOIN repos_v r ON s.doc_id = r.doc_id
 """
 
 
+def _q(s: str) -> str:
+    """SQL single-quote escape."""
+    return s.replace("'", "''")
+
+
+def _sql_link_ctes() -> str:
+    """Shared WITH-body for the kg_linked / kg_canonical oracles: the full
+    entity-linking stage (linking.py) — candidate generation blocked on the
+    head token, TF-IDF char-3-gram cosine + md5-derived pseudo-embedding
+    cosine + alias prior + type bonus, top-1 per (surface, type), NIL
+    fallback.  The alias dictionary and the IDF table are embedded as
+    VALUES literals from linking.link_artifacts() so both engines score
+    byte-identical inputs; the pseudo-embedding is the same
+    ('0x'||substr(md5(key:j),1,8))::UBIGINT construction as
+    linking._seeded_vec."""
+    from .operators.linking import EMB_DIM, link_artifacts
+
+    alias_rows, idf = link_artifacts()
+    alias_vals = ",\n    ".join(
+        f"('{_q(a)}', '{_q(c)}', '{_q(t)}', {w!r})"
+        for a, c, t, w in alias_rows
+    )
+    idf_vals = ",\n    ".join(
+        f"('{_q(g)}', {w!r})" for g, w in sorted(idf.items())
+    )
+    # char 3-grams of '^'||s||'$' — twin of linking._char_ngrams
+    def grams(col: str) -> str:
+        s2 = f"'^' || {col} || '$'"
+        return (
+            f"list_transform(range(1, greatest(length({s2}) - 2, 1) + 1),"
+            f" i -> substr({s2}, i, 3))"
+        )
+
+    def raw_vec(col: str) -> str:
+        return (
+            f"list_transform(range(0, {EMB_DIM}), j ->"
+            f" ('0x' || substr(md5({col} || ':' || j), 1, 8))::UBIGINT"
+            " / 4294967296.0 * 2.0 - 1.0)"
+        )
+    return f"""mentions AS ({_sql_kg_mentions()}),
+surf AS (SELECT DISTINCT lower(text) AS surface, type FROM mentions),
+usurf AS (SELECT DISTINCT surface FROM surf),
+alias_dim(alias, acui, alias_type, weight) AS (VALUES
+    {alias_vals}),
+idf(g, w) AS (VALUES
+    {idf_vals}),
+cand AS (
+  SELECT s.surface, s.type, a.alias, a.acui, a.alias_type, a.weight
+  FROM surf s LEFT JOIN alias_dim a
+    ON string_split(s.surface, ' ')[1] = string_split(a.alias, ' ')[1]
+),
+pairs AS (SELECT DISTINCT surface, alias FROM cand WHERE alias IS NOT NULL),
+sg AS (
+  SELECT surface, g, count(*)::DOUBLE AS cnt
+  FROM (SELECT surface, unnest({grams('surface')}) AS g FROM usurf)
+  GROUP BY surface, g
+),
+sgw AS (SELECT surface, sg.g, cnt * coalesce(i.w, 1.0) AS wt
+        FROM sg LEFT JOIN idf i ON i.g = sg.g),
+snorm AS (SELECT surface, sqrt(sum(wt * wt)) AS nrm FROM sgw
+          GROUP BY surface),
+ag AS (
+  SELECT alias, g, count(*)::DOUBLE AS cnt
+  FROM (SELECT alias, unnest({grams('alias')}) AS g FROM alias_dim)
+  GROUP BY alias, g
+),
+agw AS (SELECT alias, ag.g, cnt * coalesce(i.w, 1.0) AS wt
+        FROM ag LEFT JOIN idf i ON i.g = ag.g),
+anorm AS (SELECT alias, sqrt(sum(wt * wt)) AS nrm FROM agw GROUP BY alias),
+dots AS (
+  SELECT p.surface, p.alias, sum(s.wt * a.wt) AS dot
+  FROM pairs p
+  JOIN sgw s ON s.surface = p.surface
+  JOIN agw a ON a.alias = p.alias AND a.g = s.g
+  GROUP BY p.surface, p.alias
+),
+tf AS (
+  SELECT p.surface, p.alias,
+         coalesce(d.dot, 0.0) / (sn.nrm * an.nrm + 1e-12) AS tf
+  FROM pairs p
+  LEFT JOIN dots d ON d.surface = p.surface AND d.alias = p.alias
+  JOIN snorm sn ON sn.surface = p.surface
+  JOIN anorm an ON an.alias = p.alias
+),
+svec AS (
+  SELECT surface,
+         list_transform(v, x -> x / (sqrt(list_dot_product(v, v)) + 1e-12))
+           AS u
+  FROM (SELECT surface, {raw_vec('surface')} AS v FROM usurf)
+),
+avec AS (
+  SELECT alias,
+         list_transform(v, x -> x / (sqrt(list_dot_product(v, v)) + 1e-12))
+           AS u
+  FROM (SELECT alias, {raw_vec('alias')} AS v FROM alias_dim)
+),
+emb AS (
+  SELECT p.surface, p.alias, list_dot_product(sv.u, av.u) AS emb
+  FROM pairs p
+  JOIN svec sv ON sv.surface = p.surface
+  JOIN avec av ON av.alias = p.alias
+),
+scored AS (
+  SELECT c.surface, c.type, c.acui,
+         CASE WHEN c.alias IS NULL THEN 0.0
+              ELSE round(0.6 * t.tf + 0.3 * e.emb + 0.1 * c.weight
+                         + CASE WHEN c.alias_type = c.type
+                                THEN 0.1 ELSE 0.0 END, 6)
+         END AS link_score
+  FROM cand c
+  LEFT JOIN tf t ON t.surface = c.surface AND t.alias = c.alias
+  LEFT JOIN emb e ON e.surface = c.surface AND e.alias = c.alias
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY surface, type
+    ORDER BY link_score DESC, acui ASC
+  ) AS rk
+  FROM scored
+),
+link_map AS (
+  SELECT surface, type,
+         coalesce(acui,
+                  'NIL' || upper(substr(md5(type || ':' || surface), 1, 8)))
+           AS cui,
+         link_score,
+         acui IS NOT NULL AS linked
+  FROM ranked WHERE rk = 1
+)"""
+
+
+def _sql_kg_linked() -> str:
+    return f"""
+WITH {_sql_link_ctes()}
+SELECT m.doc_id, m.content_sha, m.text, m.type, m.tag,
+       m.start_position, m.end_position,
+       l.cui, l.link_score, l.linked
+FROM mentions m
+JOIN link_map l ON lower(m.text) = l.surface AND m.type = l.type
+"""
+
+
+def _sql_kg_canonical() -> str:
+    """kg_linked's link_map + the CC oracle: per-head-token cliques (same
+    components as the Spark side's per-head stars), recursive min-label
+    propagation, singletons map to themselves."""
+    return f"""
+WITH {_sql_link_ctes()},
+nodes AS (SELECT DISTINCT cui FROM link_map),
+heads AS (
+  SELECT DISTINCT string_split(surface, ' ')[1] AS head, cui FROM link_map
+),
+edges AS (
+  SELECT DISTINCT a.cui AS src, b.cui AS dst
+  FROM heads a JOIN heads b ON a.head = b.head AND a.cui < b.cui
+),
+bidir AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+reach AS (
+  WITH RECURSIVE r(node, comp) AS (
+    SELECT src, src FROM bidir
+    UNION
+    SELECT e.dst, r.comp FROM r JOIN bidir e ON e.src = r.node
+  )
+  SELECT node, min(comp) AS component FROM r GROUP BY node
+)
+SELECT n.cui, coalesce(rc.component, n.cui) AS canonical_id
+FROM nodes n LEFT JOIN reach rc ON n.cui = rc.node
+"""
+
+
 def _sql_canonical_surfaces() -> str:
     return f"""
 WITH surf AS (
@@ -1095,6 +1271,75 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(len(list_filter(list_transform(toks, t -> {label_case}),
                             l -> l <> 'O')) AS BIGINT) AS n_mentions
 FROM arr
+"""
+
+
+def _sql_lsh_topk() -> str:
+    """Full DuckDB twin of similarity.lsh_topk: recompute the md5-derived
+    hyperplanes per (table, plane) pair, sign-bucket every vector, join
+    candidates on (table, bucket), score with cosine, top-5 per query.
+    Exercises bucket assignment, candidate generation, and ranking — not
+    just a recall bound."""
+    plane_entry = (
+        "('0x' || substr(md5('plane:42:' || tp.t || ':' || tp.p || ':' || j),"
+        " 1, 8))::UBIGINT / 4294967296.0 * 2.0 - 1.0"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+tp AS (SELECT t.range AS t, p.range AS p FROM range(4) t, range(8) p),
+dots AS (
+  SELECT e.vec_id, tp.t, tp.p,
+         list_dot_product(e.v,
+           list_transform(range(0, len(e.v)), j -> {plane_entry})) AS d
+  FROM emb e CROSS JOIN tp
+),
+buckets AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS q, cb.vec_id AS c
+  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < 100 AND qb.vec_id <> cb.vec_id
+),
+scored AS (
+  SELECT cand.q, cand.c, round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+  FROM cand
+  JOIN emb eq ON eq.vec_id = cand.q
+  JOIN emb ec ON ec.vec_id = cand.c
+),
+ranked AS (
+  SELECT q, c, cos,
+         CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, c ASC)
+              AS BIGINT) AS rk
+  FROM scored
+)
+SELECT q, c, cos, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def _sql_media_features() -> str:
+    # twin of multimodal.synth_media + extract_features + sample_frames:
+    # every compared column is a pure function of media_id (payload = magic
+    # 10B + three packed int32 + 32B digest x 4 = 150 bytes; frame samples =
+    # ceil(duration/250ms) for video rows)
+    return """
+WITH m AS (SELECT range AS i FROM range(96)),
+base AS (
+  SELECT i AS media_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+         CAST(150 AS BIGINT) AS n_bytes,
+         CAST(64 + (i % 8) * 32 AS INT) AS width,
+         CAST(48 + (i % 5) * 24 AS INT) AS height,
+         CAST(1000 + i * 37 AS INT) AS duration_ms
+  FROM m)
+SELECT media_id, kind, n_bytes, width, height, duration_ms,
+       CAST(CASE WHEN kind = 'video'
+                 THEN ceil(duration_ms / 250.0) ELSE 0 END AS BIGINT)
+         AS n_frames
+FROM base
 """
 
 
@@ -1201,4 +1446,8 @@ def oracle_sql() -> dict[str, str]:
         "export_csv": _sql_export_csv(),
         "canonical_surfaces": _sql_canonical_surfaces(),
         "kg_mentions": _sql_kg_mentions(),
+        "kg_linked": _sql_kg_linked(),
+        "kg_canonical": _sql_kg_canonical(),
+        "lsh_topk": _sql_lsh_topk(),
+        "media_features": _sql_media_features(),
     }
