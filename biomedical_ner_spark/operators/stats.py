@@ -97,21 +97,47 @@ def tag_map(tags_df: DataFrame) -> DataFrame:
 
 
 def corpus_stats(tags_df: DataFrame, group_col: str = "lang") -> DataFrame:
-    """A8 — per-split corpus statistics (utils/fonctions.py:303-517):
-    sentence/doc counts, token counts, entity-token counts, density, and
-    BIO B/I/O totals, in ONE pass (single shuffle on the group key)."""
-    return tags_df.groupBy(F.col(group_col).alias("split")).agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.when(F.col("tag") != "O", 1).otherwise(0)).alias("n_entity_tokens"),
-        F.sum(F.when(F.col("tag").startswith("B-"), 1).otherwise(0)).alias("n_b"),
-        F.sum(F.when(F.col("tag").startswith("I-"), 1).otherwise(0)).alias("n_i"),
-        F.sum(F.when(F.col("tag") == "O", 1).otherwise(0)).alias("n_o"),
-        F.round(
-            F.sum(F.when(F.col("tag") != "O", 1).otherwise(0))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("entity_density"),
+    """A8 — the FULL per-split statistics grid of
+    utils/fonctions.py:303-517 (analyze_dataset_statistics): doc/token/
+    entity-token/BIO counts and density, sentence-length mean/median/min/
+    max and >100-token count, entities-per-sentence mean/median, and
+    zero-entity-sentence count + percentage.
+
+    Two-level aggregation: per-(split, doc) partial counts first (one
+    shuffle on the doc key, map-side combined), then the tiny per-split
+    rollup — the exact medians run over the per-doc frame (one value per
+    doc), never the token stream.  'Sentence' = document sequence, as
+    everywhere in this engine; lengths reflect whatever truncation the
+    input tags carry (the P5 100-token cap on the query path, so
+    n_over_100 = 0 there — feed untruncated tags for raw-corpus stats)."""
+    ent = F.when(F.col("tag") != "O", 1).otherwise(0)
+    per_doc = tags_df.groupBy(group_col, "doc_id").agg(
+        F.count(F.lit(1)).alias("toks"),
+        F.sum(ent).alias("ents"),
+        F.sum(F.when(F.col("tag").startswith("B-"), 1).otherwise(0)).alias("b"),
+        F.sum(F.when(F.col("tag").startswith("I-"), 1).otherwise(0)).alias("i"),
+        F.sum(F.when(F.col("tag") == "O", 1).otherwise(0)).alias("o"),
+    )
+    n_docs = F.count(F.lit(1))
+    zero = F.sum(F.when(F.col("ents") == 0, 1).otherwise(0))
+    return per_doc.groupBy(F.col(group_col).alias("split")).agg(
+        n_docs.alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.sum("ents").alias("n_entity_tokens"),
+        F.sum("b").alias("n_b"),
+        F.sum("i").alias("n_i"),
+        F.sum("o").alias("n_o"),
+        F.round(F.sum("ents") / F.sum("toks"), 6).alias("entity_density"),
+        F.round(F.sum("toks") / n_docs, 6).alias("sent_len_mean"),
+        F.round(F.expr("percentile(toks, 0.5)"), 6).alias("sent_len_median"),
+        F.min("toks").alias("sent_len_min"),
+        F.max("toks").alias("sent_len_max"),
+        F.sum(F.when(F.col("toks") > 100, 1).otherwise(0)).alias("n_over_100"),
+        F.round(F.sum("ents") / n_docs, 6).alias("ents_per_sent_mean"),
+        F.round(F.expr("percentile(ents, 0.5)"), 6)
+        .alias("ents_per_sent_median"),
+        zero.alias("n_zero_entity_sents"),
+        F.round(zero * 100 / n_docs, 6).alias("pct_zero_entity_sents"),
     )
 
 

@@ -641,21 +641,44 @@ FROM (SELECT DISTINCT tag FROM ({_TAGS_CTE}))
 
 
 def _sql_corpus_stats() -> str:
+    # full A8 grid twin (stats.corpus_stats): per-doc partials, then the
+    # per-split rollup with exact interpolated medians (quantile_cont)
     return f"""
-SELECT d.lang AS split,
-       count(DISTINCT t.doc_id) AS n_docs,
-       count(*) AS n_tokens,
-       CAST(sum(CASE WHEN t.tag <> 'O' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_entity_tokens,
-       CAST(sum(CASE WHEN t.tag LIKE 'B-%' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_b,
-       CAST(sum(CASE WHEN t.tag LIKE 'I-%' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_i,
-       CAST(sum(CASE WHEN t.tag = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-       round(sum(CASE WHEN t.tag <> 'O' THEN 1 ELSE 0 END)::DOUBLE
-             / count(*), 6) AS entity_density
-FROM ({_TAGS_CTE}) t JOIN documents d USING (doc_id)
-GROUP BY 1
+WITH per_doc AS (
+  SELECT d.lang AS split, t.doc_id,
+         count(*) AS toks,
+         CAST(sum(CASE WHEN t.tag <> 'O' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ents,
+         CAST(sum(CASE WHEN t.tag LIKE 'B-%' THEN 1 ELSE 0 END) AS BIGINT)
+           AS b,
+         CAST(sum(CASE WHEN t.tag LIKE 'I-%' THEN 1 ELSE 0 END) AS BIGINT)
+           AS i,
+         CAST(sum(CASE WHEN t.tag = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o
+  FROM ({_TAGS_CTE}) t JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CAST(sum(ents) AS BIGINT) AS n_entity_tokens,
+       CAST(sum(b) AS BIGINT) AS n_b,
+       CAST(sum(i) AS BIGINT) AS n_i,
+       CAST(sum(o) AS BIGINT) AS n_o,
+       round(sum(ents)::DOUBLE / sum(toks), 6) AS entity_density,
+       round(sum(toks)::DOUBLE / count(*), 6) AS sent_len_mean,
+       round(quantile_cont(toks, 0.5)::DOUBLE, 6) AS sent_len_median,
+       CAST(min(toks) AS BIGINT) AS sent_len_min,
+       CAST(max(toks) AS BIGINT) AS sent_len_max,
+       CAST(sum(CASE WHEN toks > 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_100,
+       round(sum(ents)::DOUBLE / count(*), 6) AS ents_per_sent_mean,
+       round(quantile_cont(ents, 0.5)::DOUBLE, 6) AS ents_per_sent_median,
+       CAST(sum(CASE WHEN ents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_entity_sents,
+       round(sum(CASE WHEN ents = 0 THEN 1 ELSE 0 END) * 100.0 / count(*), 6)
+         AS pct_zero_entity_sents
+FROM per_doc
+GROUP BY split
 """
 
 

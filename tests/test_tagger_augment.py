@@ -150,3 +150,84 @@ def test_balance_dataset_adds_copies_for_rare_classes(spark, sentences):
     # only sentences containing a deficient class were augmented
     aug_docs = {r.doc_id for r in aug.select("doc_id").distinct().collect()}
     assert aug_docs == {0, 1}  # the protein and cell_line sentences
+
+
+def test_balance_ner_dataset_matches_python_twin(spark):
+    """Property test: the distributed balance loop row-for-row equals the
+    sequential twin on a seeded corpus with a rare RNA class, an
+    under-median class, and an overrepresented class that triggers the
+    0.4-keep downsample."""
+    from biomedical_ner_spark.operators.augment import (
+        balance_ner_dataset,
+        balance_ner_dataset_py,
+        balance_targets,
+    )
+
+    rows = []
+    # 2 RNA sentences (rare -> boosted to 2x median), 3 protein
+    # (under-median), 12 DNA (dominant -> overrepresented after targets)
+    rows += [(i, ["RNA", "binds", "x"], ["B-RNA", "O", "O"]) for i in (0, 1)]
+    rows += [(i, ["p53", "levels", "rise"], ["B-protein", "O", "O"])
+             for i in (10, 11, 12)]
+    rows += [(i, ["DNA", "strand", "key"], ["B-DNA", "O", "O"])
+             for i in range(20, 32)]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, tokens ARRAY<STRING>, labels ARRAY<STRING>")
+
+    got = {
+        (r.doc_id, r.copy_idx, tuple(r.tokens), tuple(r.labels))
+        for r in balance_ner_dataset(df, spark).collect()
+    }
+    want = {
+        (d, ci, tuple(t), tuple(l))
+        for d, ci, t, l in balance_ner_dataset_py(rows)
+    }
+    assert got == want
+
+    # reference target rules: RNA -> min(2 * median, max)
+    counts = {"RNA": 2, "protein": 3, "DNA": 12}
+    t = balance_targets(counts)
+    assert t["RNA"] == min(2 * 3, 12) == 6
+    assert t["protein"] == min(int(3 * 1.2), int(12 * 0.8)) == 3
+    assert t["DNA"] == 12
+
+    # RNA deficit (6 - 2 = 4) was actually filled, within the 20-cap
+    final = {}
+    for _, _, _, labs in want:
+        for lab in labs:
+            if lab.startswith("B-"):
+                final[lab[2:]] = final.get(lab[2:], 0) + 1
+    assert final["RNA"] == 6
+
+
+def test_balance_ner_dataset_downsample_matches_twin(spark):
+    """Mixed-class RNA sentences inflate DNA past 1.5x target, triggering
+    the 0.4-keep downsample of pure-DNA sentences — twin must agree on
+    exactly which rows survive the seeded hash."""
+    from biomedical_ner_spark.operators.augment import (
+        balance_ner_dataset,
+        balance_ner_dataset_py,
+    )
+
+    rows = [(0, ["RNA", "and", "DNA"], ["B-RNA", "O", "B-DNA"])]
+    rows += [(i, ["p53", "levels", "rise"], ["B-protein", "O", "O"])
+             for i in range(10, 15)]
+    rows += [(i, ["DNA", "strand", "key"], ["B-DNA", "O", "O"])
+             for i in range(20, 30)]
+    # counts: RNA 1, protein 5, DNA 11 -> median 5 -> RNA target
+    # min(10, 11) = 10, deficit 9 -> 9 copies each adding a B-DNA ->
+    # DNA final 20 > 1.5 * 11 -> pure-DNA rows downsampled by hash
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, tokens ARRAY<STRING>, labels ARRAY<STRING>")
+    got = {
+        (r.doc_id, r.copy_idx, tuple(r.tokens), tuple(r.labels))
+        for r in balance_ner_dataset(df, spark).collect()
+    }
+    res_py = balance_ner_dataset_py(rows)
+    want = {(d, ci, tuple(t), tuple(l)) for d, ci, t, l in res_py}
+    assert got == want
+    # the downsample actually dropped something, and only pure-DNA rows
+    n_total = 1 + 5 + 10 + 9  # originals + RNA copies
+    assert len(res_py) < n_total
+    dropped_docs = {d for d in range(20, 30)} - {d for d, *_ in res_py}
+    assert dropped_docs  # at least one pure-DNA sentence gone
