@@ -105,7 +105,13 @@ class EmissionCRFTagger:
     """
 
     def __init__(self, seed: int = 42, decode: str = "crf",
-                 emissions_fn: Callable[[np.ndarray, int], np.ndarray] | None = None):
+                 emissions_fn: Callable[[np.ndarray, int], np.ndarray] | None = None,
+                 emissions_from_tokens: Callable[
+                     [Sequence[Sequence[str]], int], np.ndarray] | None = None):
+        """``emissions_fn`` consumes hashed token ids [B, T]; a model that
+        needs the raw tokens (char encoders — core.neural's
+        NumpyCombinatorialNER.emissions) plugs in via
+        ``emissions_from_tokens`` instead."""
         self.seed = seed
         self.decode = decode
         self.n_tags = len(TAGSET)
@@ -113,6 +119,7 @@ class EmissionCRFTagger:
         self.transitions = rng.standard_normal(
             (self.n_tags, self.n_tags)
         ).astype(np.float32)
+        self.emissions_from_tokens = emissions_from_tokens
         self.emissions_fn = emissions_fn or (
             lambda ids, k: _hashed_feature_emissions(ids, k, seed)
         )
@@ -134,7 +141,10 @@ class EmissionCRFTagger:
             return []
         max_len = max((len(b) for b in batch), default=1) or 1
         ids, lengths = self._token_ids(batch, max_len)
-        em = self.emissions_fn(ids, self.n_tags)
+        if self.emissions_from_tokens is not None:
+            em = self.emissions_from_tokens(batch, self.n_tags)
+        else:
+            em = self.emissions_fn(ids, self.n_tags)
         if self.decode == "crf":
             paths = viterbi_batch(em, self.transitions, lengths)
         else:  # argmax fallback (app.py:288)

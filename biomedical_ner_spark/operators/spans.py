@@ -272,14 +272,21 @@ def extract_mentions_arrow(
     text_col: str = "text",
     id_col: str = "doc_id",
     sha_col: str | None = None,
+    tagger=None,
 ) -> DataFrame:
     """Fused tokenize->tag->span-merge in ONE mapInPandas stage.
 
     Exact reference semantics by construction: each document runs through
     ``core.oracle.run_reference_pipeline`` (the transcription of
     app.py:210-252 + app.py:335-416).  One JVM<->Python Arrow crossing for
-    the whole extract stage; model-style taggers (M1/M2) plug in here by
-    swapping the tag function.
+    the whole extract stage.
+
+    ``tagger``: optional model-style tagger (M1/M2 — anything with a
+    ``tag_batch(list[list[str]]) -> list[list[str]]``, e.g.
+    core.tagger.EmissionCRFTagger wrapping a neural forward).  Tagging then
+    runs ONE batched call per Arrow batch (how a real model wants to be
+    fed) instead of the per-token lexicon rule; the BIO span-merge
+    downstream is identical.
     """
     import pandas as pd
 
@@ -296,9 +303,16 @@ def extract_mentions_arrow(
             texts = pdf[text_col].tolist()
             ids = pdf[id_col].tolist()
             shas = pdf[sha_col].tolist() if has_sha else [None] * len(ids)
-            for did, sha, raw in zip(ids, shas, texts):
-                toks = tokenize_text(raw or "")[:MAX_SEQ_LEN]
-                ents = extract_entities(predict_tags(toks))
+            toks_list = [tokenize_text(raw or "")[:MAX_SEQ_LEN]
+                         for raw in texts]
+            if tagger is None:
+                preds_list = [predict_tags(t) for t in toks_list]
+            else:
+                tag_lists = tagger.tag_batch(toks_list)
+                preds_list = [list(zip(t, g))
+                              for t, g in zip(toks_list, tag_lists)]
+            for did, sha, preds in zip(ids, shas, preds_list):
+                ents = extract_entities(preds)
                 for e in ents:
                     out["doc_id"].append(did)
                     out["content_sha"].append(sha)

@@ -1,0 +1,73 @@
+"""M1 drop-in: the numpy CombinatorialNER forward (core/neural.py) feeds
+EmissionCRFTagger's real Viterbi and runs end-to-end through the Spark
+extract DAG.  Weights are seeded (the reference checkpoints are stripped
+blobs, so weight parity is impossible); what these tests prove is the
+PLUMBING — shapes per the reference architecture, determinism, the
+exported-weights override, and span production through
+extract_mentions_arrow(tagger=...)."""
+
+import numpy as np
+
+from biomedical_ner_spark.core.neural import NumpyCombinatorialNER
+from biomedical_ner_spark.core.tagger import TAGSET, EmissionCRFTagger
+from tests.golden import GOLDEN
+
+
+def _golden_tokens():
+    return [s.split() for s, _ in GOLDEN]
+
+
+def test_emission_shapes_and_determinism():
+    model = NumpyCombinatorialNER(n_tags=len(TAGSET), seed=7)
+    batch = _golden_tokens()
+    em1 = model.emissions(batch, len(TAGSET))
+    em2 = NumpyCombinatorialNER(n_tags=len(TAGSET), seed=7).emissions(
+        batch, len(TAGSET))
+    assert em1.shape == (len(batch), max(len(b) for b in batch), len(TAGSET))
+    assert np.array_equal(em1, em2)
+    assert np.isfinite(em1).all()
+
+
+def test_exported_weights_drop_in():
+    """A weights dict of matching shapes overrides the seeded init — the
+    export path a real torch checkpoint takes."""
+    base = NumpyCombinatorialNER(n_tags=len(TAGSET), seed=7)
+    override = {"emit_b": np.arange(len(TAGSET), dtype=float)}
+    swapped = NumpyCombinatorialNER(n_tags=len(TAGSET), seed=7,
+                                    weights=override)
+    batch = _golden_tokens()
+    a = base.emissions(batch, len(TAGSET))
+    b = swapped.emissions(batch, len(TAGSET))
+    assert np.allclose(b - a, np.arange(len(TAGSET), dtype=float))
+
+
+def test_neural_tagger_through_extract_dag(spark):
+    """End-to-end: golden sentences -> extract_mentions_arrow with the
+    neural tagger -> valid BIO spans, deterministic across runs."""
+    from biomedical_ner_spark.operators import spans
+
+    model = NumpyCombinatorialNER(n_tags=len(TAGSET), seed=7)
+    tagger = EmissionCRFTagger(seed=7, emissions_from_tokens=model.emissions)
+
+    # tag_batch plumbing: every tag is from the tagset, lengths match
+    batch = _golden_tokens()
+    tags = tagger.tag_batch(batch)
+    assert [len(t) for t in tags] == [len(b) for b in batch]
+    assert all(t in TAGSET for ts in tags for t in ts)
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(GOLDEN)],
+        "doc_id BIGINT, text STRING",
+    )
+    out1 = spans.extract_mentions_arrow(docs, tagger=tagger)
+    rows1 = {(r.doc_id, r.text, r.type, r.start_position, r.end_position)
+             for r in out1.collect()}
+    rows2 = {(r.doc_id, r.text, r.type, r.start_position, r.end_position)
+             for r in spans.extract_mentions_arrow(
+                 docs, tagger=tagger).collect()}
+    assert rows1 == rows2
+    # spans are structurally valid regardless of (random-weight) content
+    for r in spans.extract_mentions_arrow(docs, tagger=tagger).collect():
+        assert r.tag.startswith("B-")
+        assert r.start_position <= r.end_position
+        assert len(r.tokens) == r.end_position - r.start_position + 1
