@@ -49,6 +49,48 @@ def load_gensim_vectors(spark: SparkSession, path: str,
     return spark.createDataFrame(rows, "word STRING, vector ARRAY<FLOAT>")
 
 
+def train_word2vec(sentences: DataFrame, spark: SparkSession,
+                   vector_size: int = EMB_DIM, window: int = 5,
+                   min_count: int = 2, seed: int = 42,
+                   max_iter: int = 10,
+                   tokens_col: str = "tokens") -> DataFrame:
+    """A14: distributed Word2Vec training — the engine twin of
+    `train_word2vec_embeddings` (utils/fonctions.py:165-195: skip-gram,
+    vector_size=200, window=5, min_count=2, epochs=10) via
+    `pyspark.ml.feature.Word2Vec` (hierarchical-softmax skip-gram, the
+    same algorithm family; CBOW is not offered by Spark ML).
+
+    Input: (tokens ARRAY<STRING>) rows; tokens are lowercased here like
+    the reference.  Output: the (word, vector ARRAY<FLOAT>) dim-table
+    shape of load_gensim_vectors — so a trained-in-engine model and an
+    imported gensim export are interchangeable in build_embedding_matrix
+    and the similarity operators.
+
+    Determinism note: Spark ML Word2Vec is seeded but its parallel updates
+    make exact floats partition-layout-dependent, like gensim with
+    workers>1 — so this is pytest-verified (schema, vocab rule,
+    neighbor sanity), not DuckDB-hashed."""
+    from pyspark.ml.feature import Word2Vec
+
+    toks = sentences.select(
+        F.expr(f"transform({tokens_col}, t -> lower(t))").alias("_toks"))
+    model = Word2Vec(
+        vectorSize=vector_size,
+        windowSize=window,
+        minCount=min_count,
+        seed=seed,
+        maxIter=max_iter,
+        inputCol="_toks",
+        outputCol="_vec",
+    ).fit(toks)
+    from pyspark.ml.functions import vector_to_array
+
+    return model.getVectors().select(
+        "word",
+        vector_to_array("vector").cast("array<float>").alias("vector"),
+    )
+
+
 def build_embedding_matrix(vocab: DataFrame, vectors: DataFrame | None,
                            spark: SparkSession,
                            dim: int = EMB_DIM) -> DataFrame:

@@ -62,3 +62,34 @@ def test_write_vocab_tables(spark, tmp_path):
     write_vocab_tables(v, c, t, str(tmp_path))
     assert spark.read.parquet(str(tmp_path / "vocab")).count() == 1
     assert spark.read.parquet(str(tmp_path / "tag_map")).collect()[0].tag == "O"
+
+
+def test_train_word2vec_produces_dim_table(spark):
+    """A14: in-engine Word2Vec training yields the (word, vector) dim-table
+    shape, obeys min_count, and the vectors plug into
+    build_embedding_matrix unchanged."""
+    from biomedical_ner_spark.sources.embeddings import train_word2vec
+
+    sents = [
+        ["p53", "binds", "DNA"],
+        ["p53", "activates", "DNA"],
+        ["p53", "binds", "RNA"],
+        ["BRCA1", "binds", "DNA"],
+        ["rareword", "appears", "once"],
+    ] * 4  # repeat so contexts exist
+    df = spark.createDataFrame([(s,) for s in sents],
+                               "tokens ARRAY<STRING>")
+    vecs = train_word2vec(df, spark, vector_size=16, min_count=2, max_iter=2)
+    rows = {r.word: list(r.vector) for r in vecs.collect()}
+    # lowercased, min_count=2 keeps repeated words; all sentences repeat
+    # 4x so every word appears >= 4 times
+    assert "p53" in rows and "dna" in rows and "binds" in rows
+    assert all(len(v) == 16 for v in rows.values())
+    assert all(isinstance(x, float) for v in rows.values() for x in v)
+    # drop-in: the trained table feeds build_embedding_matrix
+    vocab = spark.createDataFrame(
+        [("p53", 3), ("unseenword", 4)], "word STRING, id INT")
+    m = {r.word: list(r.vector) for r in build_embedding_matrix(
+        vocab, vecs, spark, dim=16).collect()}
+    assert m["p53"] == pytest.approx(rows["p53"], abs=1e-6)
+    assert len(m["unseenword"]) == 16
