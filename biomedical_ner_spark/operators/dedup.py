@@ -60,21 +60,56 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """Brute-ish n-gram Jaccard: shingle-inverted-index join (only pairs
     sharing >=1 shingle are scored — never a cross join), then
     |A∩B| / (|A|+|B|-|A∩B|) >= threshold.  Oracle-checkable; the LSH path
-    below is the scale path."""
+    below is the scale path.
+
+    ``max_df``: document-frequency cap on shingles feeding the pair join —
+    a stop-shingle shared by k docs emits O(k^2) pairs, so at scale set
+    max_df to drop the ubiquitous shingles from CANDIDATE GENERATION (an
+    upper-bound-preserving heuristic for near-dup mining: true near-dups
+    at threshold >= 0.8 still share many sub-cap shingles).  Doc sizes and
+    the Jaccard numerator/denominator still use the FULL shingle sets, so
+    scores stay exact for every surviving pair; only recall of pairs whose
+    overlap is exclusively stop-shingles is affected.  Default None =
+    exact (the DuckDB-oracle configuration)."""
     sh = _shingles(docs, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if max_df is None:
+        common = (
+            a.join(b, "shingle")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        # candidates from sub-cap shingles only (bounds the inverted-index
+        # fanout), then the EXACT intersection recomputed over full sets
+        # for just those pairs
+        keep = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df).select("shingle")
+        )
+        capped = sh.join(F.broadcast(keep), "shingle")
+        ca = capped.select(F.col("doc_id").alias("a"), "shingle")
+        cb = capped.select(F.col("doc_id").alias("b"), "shingle")
+        cand = (
+            ca.join(cb, "shingle")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        common = (
+            cand.join(a, "a")
+            .join(b, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
     return (
@@ -96,26 +131,34 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3,
                        n_hashes: int = N_BANDS * ROWS_PER_BAND) -> DataFrame:
     """(doc_id, hash_idx, minhash): per hash function h_i, the minimum of
     md5(i || shingle) over the doc's shingles.  md5-hex min is a valid
-    min-wise hash and is engine-portable for the DuckDB oracle."""
+    min-wise hash and is engine-portable for the DuckDB oracle.
+
+    Shape: hash each DISTINCT shingle once into an n_hashes ARRAY
+    (vocabulary-bounded dim), broadcast it back onto the doc-shingle
+    pairs, then ONE groupBy(doc_id) computing all n_hashes mins as
+    separate columns (element_at is plain codegen, not an interpreted
+    HOF) and unpivoting with stack().  The shuffle into the agg carries
+    one row per doc-shingle pair — not pairs x n_hashes rows."""
     sh = _shingles(docs, text_col, n)
-    # hash each DISTINCT shingle once (vocabulary-bounded, not corpus-
-    # bounded), broadcast the tiny (shingle, hash_idx, h) dim back onto the
-    # doc-shingle pairs: md5 cost drops from O(rows x n_hashes) to
-    # O(distinct_shingles x n_hashes)
     dim = sh.select("shingle").distinct().select(
         "shingle",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_hashes - 1}),"
-                f" i -> named_struct('hash_idx', i,"
-                f" 'h', md5(concat(cast(i AS STRING), ':', shingle))))"
-            )
-        ).alias("e"),
-    ).select("shingle", "e.hash_idx", "e.h")
-    return (
+        F.expr(
+            f"transform(sequence(0, {n_hashes - 1}),"
+            f" i -> md5(concat(cast(i AS STRING), ':', shingle)))"
+        ).alias("harr"),
+    )
+    per_doc = (
         sh.join(F.broadcast(dim), "shingle")
-        .groupBy("doc_id", "hash_idx")
-        .agg(F.min("h").alias("minhash"))
+        .groupBy("doc_id")
+        .agg(*[
+            F.min(F.element_at("harr", i + 1)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ])
+    )
+    stack_args = ", ".join(f"{i}, h{i}" for i in range(n_hashes))
+    return per_doc.selectExpr(
+        "doc_id",
+        f"stack({n_hashes}, {stack_args}) AS (hash_idx, minhash)",
     )
 
 

@@ -211,3 +211,19 @@ def test_ncbi_parse_and_bio_projection(spark, tmp_path):
     assert toks[1:3] == ["breast", "cancer"]
     assert labs[1:3] == ["B-SpecificDisease", "I-SpecificDisease"]
     assert all(lab == "O" for i, lab in enumerate(labs) if i not in (1, 2))
+
+
+def test_ngram_jaccard_max_df_subset_with_exact_scores(spark, docs_small):
+    from biomedical_ner_spark.operators import dedup
+
+    full = {(r.a, r.b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs_small, threshold=0.5).collect()}
+    capped = {(r.a, r.b): r.jaccard
+              for r in dedup.ngram_jaccard_pairs(
+                  docs_small, threshold=0.5, max_df=5).collect()}
+    # capped candidates are a subset, and every surviving pair's score is
+    # the exact full-set Jaccard
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v == full[k]
