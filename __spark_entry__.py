@@ -34,6 +34,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; Arrow-UDF / iterative
-    ops (kg_mentions, kg_linked, kg_canonical, lsh_topk) are rows-only."""
+    """DuckDB twins for EVERY registered query — including the Arrow-UDF
+    and iterative ones (kg_linked rebuilds the full linking score
+    relationally, kg_canonical walks CC with a recursive CTE, lsh_topk
+    recomputes the md5-derived hyperplanes, media_features derives the
+    synthetic payloads from range(96)).  Zero rows-only entries."""
     return Q.oracle_sql()

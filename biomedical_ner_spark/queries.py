@@ -305,6 +305,14 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_event_windows(spark, sf_dir):
+    """Event-time tumbling-window aggregation (the batch twin of the
+    watermarked streaming form in streaming/windowed.py)."""
+    from .streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(_events(spark, sf_dir))
+
+
 def q_sequential_split(spark, sf_dir):
     return splits.split_counts(
         splits.sequential_split(_docs(spark, sf_dir))
@@ -996,6 +1004,16 @@ GROUP BY event_type
 """
 
 
+def _sql_event_windows() -> str:
+    return """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _sql_sequential_split() -> str:
     return """
 WITH n AS (SELECT count(*) AS total FROM documents),
@@ -1411,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ann_topk": q_ann_topk,
         "events_json": q_events_json,
+        "event_windows": q_event_windows,
         "sequential_split": q_sequential_split,
         "shuffled_split": q_shuffled_split,
         "corpus_union": q_corpus_union,
@@ -1461,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _sql_quality_score(),
         "ann_topk": _sql_ann_topk(),
         "events_json": _sql_events_json(),
+        "event_windows": _sql_event_windows(),
         "sequential_split": _sql_sequential_split(),
         "shuffled_split": _sql_shuffled_split(),
         "corpus_union": _sql_corpus_union(),

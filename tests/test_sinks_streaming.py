@@ -85,3 +85,51 @@ def test_streaming_extraction(spark, tmp_path):
     b = {tuple(r) for r in batch.select("doc_id", "text", "type",
                                         "start_position").collect()}
     assert a == b and len(a) > 0
+
+
+def test_windowed_event_counts_watermark_semantics(spark, tmp_path):
+    """Streaming windowed agg == batch twin for every window the watermark
+    closed; trailing windows (end > final watermark) are withheld by
+    append mode — the late-data contract."""
+    from datetime import datetime, timedelta
+
+    from biomedical_ner_spark.streaming.windowed import (
+        WATERMARK,
+        stream_windowed_event_counts,
+        windowed_event_counts,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(minutes=7 * i), i % 5,
+         "click" if i % 2 else "view", float(i) + 0.25, "{}")
+        for i in range(40)  # spans ~4.6 hours of event time
+    ]
+    schema = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+              " event_type STRING, value DOUBLE, props STRING")
+    events = spark.createDataFrame(rows, schema)
+    src_dir = str(tmp_path / "events_src")
+    events.coalesce(1).write.parquet(src_dir)
+
+    out_dir = str(tmp_path / "win_out")
+    q = stream_windowed_event_counts(
+        spark, src_dir, str(tmp_path / "ckpt"), out_dir, schema)
+    q.awaitTermination(120)
+
+    got = {(r.window_start, r.event_type): (r.n, r.value_cents)
+           for r in spark.read.parquet(out_dir).collect()}
+    batch = {(r.window_start, r.event_type): (r.n, r.value_cents)
+             for r in windowed_event_counts(events).collect()}
+
+    # final watermark = max ts - 10 min; closed windows = end <= watermark
+    max_ts = max(r[1] for r in rows)
+    assert WATERMARK == "10 minutes"
+    wm = max_ts - timedelta(minutes=10)
+
+    def closed(key):
+        start = datetime.strptime(key[0], "%Y-%m-%d %H:%M:%S")
+        return start + timedelta(hours=1) <= wm
+
+    expect = {k: v for k, v in batch.items() if closed(k)}
+    assert got == expect
+    assert 0 < len(expect) < len(batch)  # some emitted, trailing withheld
