@@ -305,6 +305,34 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_encoded_tokens(spark, sf_dir):
+    """J1/J2/P4/P6 end-to-end: the Arrow encode stage (word ids with
+    NUM/UNK rules + 20-char-truncated per-char ids) against a fully
+    relational DuckDB twin (char explode + dim join + ordered re-agg)."""
+    from .operators.encode import encode_corpus_arrow
+
+    tags = _tags(spark, sf_dir)
+    wv = {"<PAD>": 0, "<UNK>": 1, "<NUM>": 2}
+    wv.update({r.word: int(r.id) for r in stats.vocab_build(tags).collect()})
+    cv = {"<PAD>": 0, "<UNK>": 1}
+    cv.update({r.ch: int(r.id) for r in stats.char_inventory(tags).collect()})
+    return encode_corpus_arrow(_docs(spark, sf_dir), wv, cv)
+
+
+def q_embedding_matrix(spark, sf_dir):
+    """J4/D11: the vocab x vectors broadcast left join with the seeded
+    md5-uniform fallback and the PAD zero vector, vectors=None (pure
+    fallback path — a pretrained dim table would shadow it row-for-row).
+    Float values match the oracle bit-for-bit: both engines compute the
+    same float64 expression and quantize to float32 (Arrow array<float>
+    vs CAST AS REAL)."""
+    from .sources.embeddings import build_embedding_matrix
+
+    vocab = stats.vocab_build(_tags(spark, sf_dir))
+    m = build_embedding_matrix(vocab.select("word", "id"), None, spark)
+    return m.select("word", F.col("id").cast("bigint").alias("id"), "vector")
+
+
 def q_event_windows(spark, sf_dir):
     """Event-time tumbling-window aggregation (the batch twin of the
     watermarked streaming form in streaming/windowed.py)."""
@@ -1004,6 +1032,62 @@ GROUP BY event_type
 """
 
 
+def _sql_encoded_tokens() -> str:
+    return f"""
+WITH vocab AS ({_VOCAB_CTE}),
+chars AS (
+  SELECT ch, CAST(row_number() OVER (ORDER BY ch) + 1 AS BIGINT) AS id
+  FROM (
+    SELECT DISTINCT UNNEST(string_split(token, '')) AS ch
+    FROM ({_TAGS_CTE}) WHERE token <> ''
+  ) WHERE ch <> ''
+),
+toks AS (SELECT doc_id, pos, token FROM ({_TAGS_CTE})),
+exploded AS (
+  SELECT doc_id, pos, token,
+         UNNEST(string_split(substr(token, 1, 20), '')) AS ch,
+         generate_subscripts(string_split(substr(token, 1, 20), ''), 1)
+           AS cpos
+  FROM toks
+),
+char_lists AS (
+  SELECT e.doc_id, e.pos, e.token,
+         list(coalesce(c.id, 1) ORDER BY e.cpos) AS char_ids
+  FROM exploded e LEFT JOIN chars c ON e.ch = c.ch
+  GROUP BY 1, 2, 3
+)
+SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, t.token,
+       CAST(CASE WHEN regexp_full_match(t.token, '[0-9]+') THEN 2
+            ELSE coalesce(v.id, 1) END AS BIGINT) AS word_id,
+       cl.char_ids
+FROM toks t
+LEFT JOIN vocab v ON lower(t.token) = v.word
+JOIN char_lists cl ON cl.doc_id = t.doc_id AND cl.pos = t.pos
+"""
+
+
+def _sql_embedding_matrix() -> str:
+    from .sources.embeddings import EMB_DIM
+
+    vec = (
+        f"list_transform(range(0, {EMB_DIM}), j -> CAST("
+        "(('0x' || substr(md5('embv:' || word || ':' || j), 1, 8))::UBIGINT"
+        " / 4294967296.0 * 2.0 - 1.0) * 0.1 AS REAL))"
+    )
+    zeros = f"list_transform(range(0, {EMB_DIM}), j -> CAST(0.0 AS REAL))"
+    return f"""
+WITH full_vocab AS (
+  SELECT * FROM (VALUES ('<PAD>', CAST(0 AS BIGINT)), ('<UNK>', 1),
+                        ('<NUM>', 2)) v(word, id)
+  UNION ALL
+  SELECT word, id FROM ({_VOCAB_CTE})
+)
+SELECT word, id,
+       CASE WHEN id = 0 THEN {zeros} ELSE {vec} END AS vector
+FROM full_vocab
+"""
+
+
 def _sql_event_windows() -> str:
     return """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
@@ -1430,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "events_json": q_events_json,
         "event_windows": q_event_windows,
+        "embedding_matrix": q_embedding_matrix,
+        "encoded_tokens": q_encoded_tokens,
         "sequential_split": q_sequential_split,
         "shuffled_split": q_shuffled_split,
         "corpus_union": q_corpus_union,
@@ -1481,6 +1567,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _sql_ann_topk(),
         "events_json": _sql_events_json(),
         "event_windows": _sql_event_windows(),
+        "embedding_matrix": _sql_embedding_matrix(),
+        "encoded_tokens": _sql_encoded_tokens(),
         "sequential_split": _sql_sequential_split(),
         "shuffled_split": _sql_shuffled_split(),
         "corpus_union": _sql_corpus_union(),

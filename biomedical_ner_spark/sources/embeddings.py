@@ -26,11 +26,18 @@ EMB_DIM = 200  # reference dimension (README.md:233-244)
 
 
 def seeded_vector(word: str, dim: int = EMB_DIM, scale: float = 0.1) -> list[float]:
-    """Deterministic fallback vector ~ the reference's N(0, 0.1) init
-    (streamlit_utils.py:50-59), seeded from the word so retries agree."""
-    h = hashlib.md5(f"emb:{word}".encode()).digest()
-    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-    return [float(x) for x in (rng.standard_normal(dim) * scale)]
+    """Deterministic fallback vector standing in for the reference's
+    N(0, 0.1) init (streamlit_utils.py:50-59), seeded from the word so
+    retries agree.  Dimension j = scale * (md5("embv:word:j") scaled to
+    [-1, 1)) — float64, deliberately SQL-expressible so the DuckDB
+    embedding_matrix oracle reconstructs bit-identical values (the
+    float32 quantization at the Arrow boundary equals DuckDB's
+    CAST(... AS REAL), both IEEE round-to-nearest)."""
+    return [
+        (int(hashlib.md5(f"embv:{word}:{j}".encode()).hexdigest()[:8], 16)
+         / 4294967296.0 * 2.0 - 1.0) * scale
+        for j in range(dim)
+    ]
 
 
 def load_gensim_vectors(spark: SparkSession, path: str,
