@@ -305,6 +305,62 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_export_json(spark, sf_dir):
+    """S6 round-trip (app.py:910-917 field set): export per-doc JSON
+    records through the sink, read the files back with the pinned schema,
+    and value-check per-doc prediction/entity counts + order-sensitive
+    fingerprints against the direct SQL twin."""
+    from .sources import sinks
+
+    t = _tags(spark, sf_dir)
+    m = _mentions(spark, sf_dir)
+    path = _scratch("export_json", sf_dir)
+    sinks.export_json(t, m, path)
+    schema = (
+        "doc_id BIGINT,"
+        " predictions ARRAY<STRUCT<token:STRING, tag:STRING>>,"
+        " entities ARRAY<STRUCT<text:STRING, type:STRING, tag:STRING,"
+        "  individual_tags:ARRAY<STRING>, tokens:ARRAY<STRING>,"
+        "  start_position:INT, end_position:INT>>,"
+        " dataset STRING, timestamp STRING"
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.select(
+        "doc_id",
+        F.size("predictions").cast("bigint").alias("n_predictions"),
+        F.expr("md5(array_join(transform(predictions,"
+               " p -> concat(p.token, char(9), p.tag)), '|'))")
+        .alias("pred_fp"),
+        F.expr("cast(coalesce(size(entities), 0) AS BIGINT)")
+        .alias("n_entities"),
+        F.expr("md5(coalesce(array_join(transform(entities,"
+               " e -> concat(e.text, char(9), e.type, char(9),"
+               " cast(e.start_position AS STRING))), '|'), ''))")
+        .alias("ent_fp"),
+        "dataset",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID (n-gram heuristic): per-language stopword + char-n-gram
+    scores and the argmax prediction, over the deterministic multilingual
+    fixtures (the testdata lang column is a label only — see
+    functions/langid.py).  All scores are exact integers computed from
+    plan-literal profiles; no UDF, no broadcast."""
+    from .functions import langid
+
+    df = spark.createDataFrame(
+        langid.SAMPLES, "sent_id BIGINT, truth STRING, text STRING"
+    ).withColumn("_t", tokenize_expr("text"))
+    scores = langid.lang_scores_exprs("_t", "text")
+    return df.select(
+        "sent_id", "truth",
+        *[scores[lang].cast("bigint").alias(f"score_{lang}")
+          for lang in langid.LANGS],
+        langid.predicted_lang_expr("_t", "text").alias("predicted"),
+    )
+
+
 def q_encoded_tokens(spark, sf_dir):
     """J1/J2/P4/P6 end-to-end: the Arrow encode stage (word ids with
     NUM/UNK rules + 20-char-truncated per-char ids) against a fully
@@ -1032,6 +1088,51 @@ GROUP BY event_type
 """
 
 
+def _sql_export_json() -> str:
+    return f"""
+WITH preds AS (
+  SELECT doc_id, count(*) AS n_predictions,
+         md5(string_agg(token || chr(9) || tag, '|' ORDER BY pos))
+           AS pred_fp
+  FROM ({_TAGS_CTE}) GROUP BY doc_id
+),
+ents AS (
+  SELECT doc_id, count(*) AS n_entities,
+         md5(string_agg(text || chr(9) || type || chr(9) ||
+                        CAST(start_position AS VARCHAR),
+                        '|' ORDER BY start_position)) AS ent_fp
+  FROM ({_SPANS_CTE}) GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_predictions AS BIGINT) AS n_predictions,
+       p.pred_fp,
+       CAST(coalesce(e.n_entities, 0) AS BIGINT) AS n_entities,
+       coalesce(e.ent_fp, md5('')) AS ent_fp,
+       'JNLPBA' AS dataset
+FROM preds p LEFT JOIN ents e USING (doc_id)
+"""
+
+
+def _sql_lang_id() -> str:
+    from .functions import langid
+
+    vals = ",\n    ".join(
+        f"({i}, '{t}', '{_q(x)}')" for i, t, x in langid.SAMPLES
+    )
+    score_cols, pred = langid.duck_scores_and_pred("toks", "text")
+    return f"""
+WITH s(sent_id, truth, text) AS (VALUES
+    {vals}),
+t AS (
+  SELECT sent_id, truth, text,
+         regexp_extract_all(text, '{SQL_TOKEN_PATTERN}') AS toks
+  FROM s
+)
+SELECT sent_id, truth, {score_cols}, {pred} AS predicted
+FROM t
+"""
+
+
 def _sql_encoded_tokens() -> str:
     return f"""
 WITH vocab AS ({_VOCAB_CTE}),
@@ -1516,6 +1617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "embedding_matrix": q_embedding_matrix,
         "encoded_tokens": q_encoded_tokens,
+        "lang_id": q_lang_id,
+        "export_json": q_export_json,
         "sequential_split": q_sequential_split,
         "shuffled_split": q_shuffled_split,
         "corpus_union": q_corpus_union,
@@ -1569,6 +1672,8 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _sql_event_windows(),
         "embedding_matrix": _sql_embedding_matrix(),
         "encoded_tokens": _sql_encoded_tokens(),
+        "lang_id": _sql_lang_id(),
+        "export_json": _sql_export_json(),
         "sequential_split": _sql_sequential_split(),
         "shuffled_split": _sql_shuffled_split(),
         "corpus_union": _sql_corpus_union(),

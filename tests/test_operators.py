@@ -227,3 +227,12 @@ def test_ngram_jaccard_max_df_subset_with_exact_scores(spark, docs_small):
     assert set(capped) <= set(full)
     for k, v in capped.items():
         assert v == full[k]
+
+
+def test_lang_id_predicts_fixture_languages(spark):
+    from biomedical_ner_spark.queries import q_lang_id
+
+    rows = q_lang_id(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.predicted == r.truth, (r.sent_id, r.truth, r.predicted)
