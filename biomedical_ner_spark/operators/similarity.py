@@ -201,6 +201,89 @@ def lsh_candidates(embeddings: DataFrame, n_planes: int = 8,
     )
 
 
+def _centroid_ranks(embeddings: DataFrame, n_centroids: int, top_n: int,
+                    id_col: str, vec_col: str,
+                    out_col: str = "cid") -> DataFrame:
+    """(id, cid) rows: each vector's top_n nearest centroids by rounded
+    cosine (centroid-id tie-break), one numpy matmul per Arrow batch.
+    Centroids are the first n_centroids vectors (deterministic sampled
+    centroids, the kmeans++-seed shape); a trained kmeans model drops in
+    as the same collected (cid, vector) list."""
+    c_rows = (
+        embeddings.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    c_ids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
+    C = np.array([list(r["cv"]) for r in c_rows], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            V = _to_matrix(pdf["v"])
+            vn = np.sqrt((V * V).sum(axis=1))
+            S = np.round((V @ C.T) / (np.outer(vn, cn) + EPS), 6)
+            out_id, out_cid = [], []
+            for r in range(ids.size):
+                order = np.lexsort((c_ids, -S[r]))[:top_n]
+                out_id.append(np.full(order.size, ids[r], dtype=np.int64))
+                out_cid.append(c_ids[order])
+            yield pd.DataFrame({
+                "id": np.concatenate(out_id),
+                out_col: np.concatenate(out_cid),
+            })
+
+    base = embeddings.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("v"))
+    return base.mapInPandas(gen, schema=f"id bigint, {out_col} bigint")
+
+
+def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, cid): inverted-file coarse quantization — each vector joins
+    the list of its single nearest centroid."""
+    return _centroid_ranks(embeddings, n_centroids, 1, id_col, vec_col)
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 100,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: queries probe their n_probe nearest inverted
+    lists and score only those lists' members — the classic coarse-
+    quantizer ANN shape (candidates ~ n_probe/n_centroids of the corpus).
+    Fully deterministic, so the DuckDB oracle replays assignment, probing,
+    and ranking exactly."""
+    assign = ivf_assignments(embeddings, n_centroids, id_col, vec_col)
+    vecs = embeddings.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("v"))
+    qv = vecs.where(F.col("id") < n_queries).select(
+        F.col("id").alias("q"), F.col("v").alias("qv"))
+    probes = _centroid_ranks(
+        embeddings.where(F.col(id_col) < n_queries),
+        n_centroids, n_probe, id_col, vec_col,
+    ).withColumnRenamed("id", "q")
+    cand = (
+        probes.join(assign.select(F.col("id").alias("c"), "cid"), "cid")
+        .where(F.col("q") != F.col("c"))
+        .select("q", "c")
+    )
+    cv = vecs.select(F.col("id").alias("c"), F.col("v").alias("cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "q").join(cv, "c")
+        .withColumn("cos", F.round(cosine_pandas("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("c"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q", "c", "cos", "rk")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 100,
              n_planes: int = 8, n_tables: int = 4, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -452,6 +452,20 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), k=5, n_queries=100)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse quantizer -> inverted lists -> probe): the second
+    approximate scale path next to LSH, fully deterministic and replayed
+    exactly by the oracle."""
+    return similarity.ivf_topk(_emb(spark, sf_dir), k=5, n_queries=100)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucket blocked (dedup.py) —
+    value-checked: the oracle recomputes the md5-derived hyperplane
+    buckets, the blocked candidate pairs, and the cosine filter."""
+    return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.2)
+
+
 def q_canonical_surfaces(spark, sf_dir):
     """Cross-engine check of the connected-components operator itself:
     nodes = md5-derived surface cuis from bio_spans, edges = per-head-token
@@ -1500,18 +1514,15 @@ FROM arr
 """
 
 
-def _sql_lsh_topk() -> str:
-    """Full DuckDB twin of similarity.lsh_topk: recompute the md5-derived
-    hyperplanes per (table, plane) pair, sign-bucket every vector, join
-    candidates on (table, bucket), score with cosine, top-5 per query.
-    Exercises bucket assignment, candidate generation, and ranking — not
-    just a recall bound."""
+def _sql_lsh_bucket_ctes() -> str:
+    """Shared CTEs: recompute the md5-derived hyperplanes per (table,
+    plane) pair and sign-bucket every embedding — the DuckDB twin of
+    similarity.hyperplane_buckets."""
     plane_entry = (
         "('0x' || substr(md5('plane:42:' || tp.t || ':' || tp.p || ':' || j),"
         " 1, 8))::UBIGINT / 4294967296.0 * 2.0 - 1.0"
     )
-    return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 tp AS (SELECT t.range AS t, p.range AS p FROM range(4) t, range(8) p),
 dots AS (
   SELECT e.vec_id, tp.t, tp.p,
@@ -1523,7 +1534,69 @@ buckets AS (
   SELECT vec_id, t,
          sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS bucket
   FROM dots GROUP BY vec_id, t
+)"""
+
+
+def _sql_embedding_near_dups() -> str:
+    return f"""
+WITH {_sql_lsh_bucket_ctes()},
+cand AS (
+  SELECT DISTINCT qb.vec_id AS a, cb.vec_id AS b
+  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < cb.vec_id
+)
+SELECT cand.a, cand.b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+FROM cand
+JOIN emb ea ON ea.vec_id = cand.a
+JOIN emb eb ON eb.vec_id = cand.b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.2
+"""
+
+
+def _sql_ivf_topk() -> str:
+    return """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+cscore AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS pcos
+  FROM emb e CROSS JOIN cents c
 ),
+ranked_c AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY pcos DESC, cid ASC) AS crk
+  FROM cscore
+),
+assign AS (SELECT vec_id AS c, cid FROM ranked_c WHERE crk = 1),
+probes AS (SELECT vec_id AS q, cid FROM ranked_c
+           WHERE crk <= 4 AND vec_id < 100),
+cand AS (SELECT q, c FROM probes JOIN assign USING (cid) WHERE q <> c),
+scored AS (
+  SELECT cand.q, cand.c,
+         round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+  FROM cand
+  JOIN emb eq ON eq.vec_id = cand.q
+  JOIN emb ec ON ec.vec_id = cand.c
+),
+ranked AS (
+  SELECT q, c, cos,
+         CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, c ASC)
+              AS BIGINT) AS rk
+  FROM scored
+)
+SELECT q, c, cos, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def _sql_lsh_topk() -> str:
+    """Full DuckDB twin of similarity.lsh_topk: bucket every vector, join
+    candidates on (table, bucket), score with cosine, top-5 per query.
+    Exercises bucket assignment, candidate generation, and ranking — not
+    just a recall bound."""
+    return f"""
+WITH {_sql_lsh_bucket_ctes()},
 cand AS (
   SELECT DISTINCT qb.vec_id AS q, cb.vec_id AS c
   FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
@@ -1633,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical": q_kg_canonical,
         "canonical_surfaces": q_canonical_surfaces,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
     }
 
@@ -1685,5 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linked": _sql_kg_linked(),
         "kg_canonical": _sql_kg_canonical(),
         "lsh_topk": _sql_lsh_topk(),
+        "ivf_topk": _sql_ivf_topk(),
+        "embedding_near_dups": _sql_embedding_near_dups(),
         "media_features": _sql_media_features(),
     }

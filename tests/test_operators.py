@@ -236,3 +236,30 @@ def test_lang_id_predicts_fixture_languages(spark):
     assert len(rows) == 20
     for r in rows:
         assert r.predicted == r.truth, (r.sent_id, r.truth, r.predicted)
+
+
+def test_ivf_topk_high_recall_on_clustered_vectors(spark):
+    """On clustered data (vectors near their sampled centroids) the IVF
+    probe must recover nearly all true neighbors; exactness of the
+    candidate machinery is separately driver-checked (query ivf_topk)."""
+    import numpy as np
+
+    from biomedical_ner_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((16, 32))
+    rows = [(i, [float(x) for x in centers[i]]) for i in range(16)]
+    vid = 16
+    for rep in range(12):
+        for ci in range(16):
+            v = centers[ci] + 0.05 * rng.standard_normal(32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    brute = {(r.q, r.c)
+             for r in similarity.brute_topk(df, k=3, n_queries=20).collect()}
+    ivf = {(r.q, r.c)
+           for r in similarity.ivf_topk(
+               df, k=3, n_queries=20, n_centroids=16, n_probe=4).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.9, recall
