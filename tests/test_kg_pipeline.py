@@ -123,3 +123,51 @@ def test_connected_components_vs_union_find(spark):
     assert set(got) == touched
     for n in touched:
         assert got[n] == want_label[n], n
+
+
+def test_pipeline_resume_overwrites_partial_bucket_writes(
+        spark, repos, tmp_path_factory):
+    """Mid-WRITE crash: a bucket directory containing garbage partial
+    parquet from a killed task, with the bucket NOT recorded done in the
+    manifest, must be replaced wholesale on resume (dynamic partition
+    overwrite is per-bucket idempotent) and the final tables must equal a
+    clean run's."""
+    import os
+
+    out_full = str(tmp_path_factory.mktemp("kg_full2"))
+    run_kg_pipeline(spark, repos, out_full, run_id="r", n_buckets=4)
+
+    out_crash = str(tmp_path_factory.mktemp("kg_crash"))
+    src = prepare_input(repos, 4)
+    from biomedical_ner_spark.operators import spans
+
+    # complete buckets 0,1 properly (manifest rows recorded)...
+    part = src.where(F.col("bucket").isin([0, 1]))
+    m = spans.extract_mentions_arrow(
+        part, text_col="content", id_col="doc_id", sha_col="content_sha"
+    ).join(src.select("doc_id", "bucket", "repo", "path", "commit", "lang"),
+           "doc_id")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    m.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out_crash}/mentions")
+    mf.append_rows(
+        spark, f"{out_crash}/manifest",
+        mf.stage_counters("r", "mentions", {0: 1, 1: 1}, {0: 1, 1: 1},
+                          {0: True, 1: True}),
+    )
+    # ...then simulate a crash halfway through bucket 2's write: write
+    # GARBAGE rows (wrong mentions) into its partition dir, no manifest row
+    garbage = m.limit(7).withColumn("bucket", F.lit(2))
+    garbage.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out_crash}/mentions")
+    assert os.path.isdir(f"{out_crash}/mentions/bucket=2")
+
+    run_kg_pipeline(spark, repos, out_crash, run_id="r", n_buckets=4)
+
+    for table in ("mentions", "relations", "entities"):
+        a = spark.read.parquet(f"{out_full}/{table}")
+        b = spark.read.parquet(f"{out_crash}/{table}")
+        cols = sorted(a.columns)
+        assert a.count() == b.count(), table
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0, table
+        assert b.select(cols).exceptAll(a.select(cols)).count() == 0, table
