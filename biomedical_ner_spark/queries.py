@@ -452,6 +452,43 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), k=5, n_queries=100)
 
 
+def curate_documents(d: DataFrame) -> DataFrame:
+    """The training-data curation pipeline composed end-to-end over a
+    documents frame: exact dedup (keep each sha-group's min-doc_id
+    keeper), then normalized-fingerprint near-dup removal (keep each
+    fingerprint group's keeper), then quality gates (token count, punct
+    ratio, stopword ratio).  Survivors with their quality row — entirely
+    narrow ops + two hash-groupBy keeper joins, the 100 TB shape."""
+    toks = tokenize_expr("text")
+    q = d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha"),
+        fingerprint_expr(F.col("text")).alias("fp"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(punct_ratio_expr(toks), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_expr(toks), 6).alias("stopword_ratio"),
+    )
+    sha_keep = q.groupBy("sha").agg(F.min("doc_id").alias("doc_id"))
+    fp_keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        q.join(sha_keep, ["sha", "doc_id"])
+        .join(fp_keep, ["fp", "doc_id"])
+        .where(
+            (F.col("n_tokens") >= 10)
+            & (F.col("punct_ratio") <= 0.3)
+            & (F.col("stopword_ratio") <= 0.6)
+        )
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+                F.col("fp").alias("fingerprint"))
+    )
+
+
+def q_corpus_curation(spark, sf_dir):
+    """See curate_documents; value-checked column-for-column (including
+    fingerprints) against the DuckDB twin."""
+    return curate_documents(_docs(spark, sf_dir))
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN (coarse quantizer -> inverted lists -> probe): the second
     approximate scale path next to LSH, fully deterministic and replayed
@@ -522,9 +559,12 @@ def q_media_features(spark, sf_dir):
 
 def _scratch(name: str, sf_dir: str) -> str:
     import os
+    import tempfile
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"/dev/shm/bns_scratch/{name}_{tag}"
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) \
+        else tempfile.gettempdir()
+    return f"{base}/bns_scratch/{name}_{tag}"
 
 
 def q_conll_scan(spark, sf_dir):
@@ -1070,6 +1110,39 @@ FROM (
          regexp_extract_all(text, '{SQL_TOKEN_PATTERN}') AS arr
   FROM documents
 )
+"""
+
+
+def _sql_corpus_curation() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         sha256(text) AS sha,
+         md5(array_to_string(
+             regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}'), ' '))
+           AS fp,
+         CAST(len(arr) AS BIGINT) AS n_tokens,
+         round(len(list_filter(arr, t -> NOT regexp_full_match(t,
+               '[A-Za-z0-9_-]+')))::DOUBLE / greatest(len(arr), 1), 6)
+           AS punct_ratio,
+         round(len(list_filter(arr, t -> lower(t) IN ({sw})))::DOUBLE
+               / greatest(len(arr), 1), 6) AS stopword_ratio
+  FROM (
+    SELECT doc_id, text,
+           regexp_extract_all(text, '{SQL_TOKEN_PATTERN}') AS arr
+    FROM documents
+  )
+),
+sha_keep AS (SELECT sha, min(doc_id) AS doc_id FROM q GROUP BY sha),
+fp_keep AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp)
+SELECT q.doc_id, q.n_tokens, q.punct_ratio, q.stopword_ratio,
+       q.fp AS fingerprint
+FROM q
+JOIN sha_keep USING (sha, doc_id)
+JOIN fp_keep USING (fp, doc_id)
+WHERE q.n_tokens >= 10 AND q.punct_ratio <= 0.3
+  AND q.stopword_ratio <= 0.6
 """
 
 
@@ -1685,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "quality_score": q_quality_score,
+        "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "events_json": q_events_json,
         "event_windows": q_event_windows,
@@ -1742,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _sql_ngram_jaccard(),
         "simhash": _sql_simhash(),
         "quality_score": _sql_quality_score(),
+        "corpus_curation": _sql_corpus_curation(),
         "ann_topk": _sql_ann_topk(),
         "events_json": _sql_events_json(),
         "event_windows": _sql_event_windows(),

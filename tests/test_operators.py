@@ -263,3 +263,23 @@ def test_ivf_topk_high_recall_on_clustered_vectors(spark):
                df, k=3, n_queries=20, n_centroids=16, n_probe=4).collect()}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.9, recall
+
+
+def test_corpus_curation_drops_dups_neardups_and_junk(spark):
+    from biomedical_ner_spark.queries import curate_documents
+
+    good = "the table scan reads rows from the parquet file " \
+           "and the filter drops most of them quickly"
+    rows = [
+        (0, good),
+        (1, good),                            # exact dup -> dropped
+        (2, good.upper()),                    # case variant -> same fingerprint -> dropped
+        (3, "too short"),                     # < 10 tokens -> dropped
+        (4, ", ".join(["."] * 40)),           # punct-heavy -> dropped
+        (5, " ".join(["the"] * 30)),          # all stopwords -> dropped
+        (6, "another perfectly reasonable document about query engines "
+            "with enough distinct tokens to pass the gates"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    kept = {r.doc_id for r in curate_documents(df).collect()}
+    assert kept == {0, 6}
