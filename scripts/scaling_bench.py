@@ -213,7 +213,7 @@ def main() -> None:
     # measurement so drift is visible in the artifact.
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
     configs = tuple(
-        int(x) for x in os.environ.get("SCALING_CONFIGS", "2,8,32").split(",")
+        int(x) for x in os.environ.get("SCALING_CONFIGS", "1,4,32").split(",")
     )
     results: dict[int, dict] = {}
     for _ in range(rounds):
