@@ -86,9 +86,12 @@ def main() -> None:
     t, n = timed(lambda: make_triples(toks, mentions_df).count(), trials=2)
     timings["triples"], counts["triples"] = t, n
 
+    # round-1-comparable set first, then the round-2 additions (lsh/ivf
+    # ANN paths, event-time windows, composed corpus curation)
     for name in (
         "entity_type_counts", "corpus_stats", "vocab_build",
         "minhash_lsh_pairs", "simhash", "ann_topk", "quality_score",
+        "lsh_topk", "ivf_topk", "event_windows", "corpus_curation",
     ):
         fn = Q.queries()[name]
         t, n = timed(lambda f=fn: f(spark, SF_DIR).count())
