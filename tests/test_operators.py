@@ -283,3 +283,35 @@ def test_corpus_curation_drops_dups_neardups_and_junk(spark):
     df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
     kept = {r.doc_id for r in curate_documents(df).collect()}
     assert kept == {0, 6}
+
+
+def test_split_rank_property_vs_local_sort(spark):
+    """Bucket-offset global rank == local sorted() membership for random
+    id sets, including sizes whose 0.7/0.15 fractions exercise the
+    truncation rule and ids that skew the range buckets."""
+    import hashlib
+    import random
+
+    from biomedical_ner_spark.operators import splits
+
+    rng = random.Random(7)
+    for trial, n in enumerate((21, 37, 100)):
+        ids = rng.sample(range(0, 10_000_000), n)
+        if trial == 1:  # clustered ids: skewed range buckets
+            ids = [5_000_000 + i for i in range(n)]
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id BIGINT")
+
+        def expect(order):
+            n_train, n_dev = int(n * 0.7), int(n * 0.15)
+            return {d: ("train" if r < n_train
+                        else "dev" if r < n_train + n_dev else "test")
+                    for r, d in enumerate(order)}
+
+        seq = {r.doc_id: r.split
+               for r in splits.sequential_split(df).collect()}
+        assert seq == expect(sorted(ids))
+
+        key = lambda d: (hashlib.md5(f"{d}:42".encode()).hexdigest(), d)
+        shuf = {r.doc_id: r.split
+                for r in splits.seeded_shuffle_split(df).collect()}
+        assert shuf == expect(sorted(ids, key=key))
