@@ -94,7 +94,7 @@ def main() -> None:
         "lsh_topk", "ivf_topk", "event_windows", "corpus_curation",
     ):
         fn = Q.queries()[name]
-        t, n = timed(lambda f=fn: f(spark, SF_DIR).count())
+        t, n = timed(lambda f=fn: f(spark, SF_DIR).count(), trials=2)
         timings[name], counts[name] = t, n
 
     total = sum(timings.values())
