@@ -372,21 +372,45 @@ def q_encoded_tokens(spark, sf_dir):
     wv.update({r.word: int(r.id) for r in stats.vocab_build(tags).collect()})
     cv = {"<PAD>": 0, "<UNK>": 1}
     cv.update({r.ch: int(r.id) for r in stats.char_inventory(tags).collect()})
-    return encode_corpus_arrow(_docs(spark, sf_dir), wv, cv)
+    enc = encode_corpus_arrow(_docs(spark, sf_dir), wv, cv)
+    # driver-compare convention: scalar columns only — arrays stay in the
+    # pipeline (the driver's cross-engine array stringification is not part
+    # of the contract); the char-id sequence is carried as a fingerprint
+    return enc.select(
+        "doc_id", "pos", "token", "word_id",
+        F.size("char_ids").cast("bigint").alias("n_chars"),
+        F.md5(F.expr("array_join(char_ids, ',')")).alias("char_fp"),
+    )
 
 
 def q_embedding_matrix(spark, sf_dir):
     """J4/D11: the vocab x vectors broadcast left join with the seeded
     md5-uniform fallback and the PAD zero vector, vectors=None (pure
     fallback path — a pretrained dim table would shadow it row-for-row).
-    Float values match the oracle bit-for-bit: both engines compute the
-    same float64 expression and quantize to float32 (Arrow array<float>
-    vs CAST AS REAL)."""
+    Driver-compare convention: scalar columns only, so the float32 vector
+    is compared through exact derivations — dimension, first/last
+    element, sequential sum, and norm, all as rounded doubles of the SAME
+    float32-quantized values both engines construct (Arrow array<float>
+    vs CAST AS REAL of an identical float64 expression)."""
     from .sources.embeddings import build_embedding_matrix
 
     vocab = stats.vocab_build(_tags(spark, sf_dir))
     m = build_embedding_matrix(vocab.select("word", "id"), None, spark)
-    return m.select("word", F.col("id").cast("bigint").alias("id"), "vector")
+    return m.select(
+        "word", F.col("id").cast("bigint").alias("id"),
+        F.size("vector").cast("bigint").alias("dim"),
+        F.round(F.expr("cast(get(vector, 0) AS DOUBLE)"), 6).alias("v0"),
+        F.round(F.expr(
+            "cast(element_at(vector, size(vector)) AS DOUBLE)"), 6)
+        .alias("v_last"),
+        F.round(F.expr(
+            "aggregate(vector, cast(0.0 AS DOUBLE),"
+            " (a, x) -> a + cast(x AS DOUBLE))"), 6).alias("vsum"),
+        F.round(F.sqrt(F.expr(
+            "aggregate(vector, cast(0.0 AS DOUBLE),"
+            " (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE))")), 6)
+        .alias("vnorm"),
+    )
 
 
 def q_event_windows(spark, sf_dir):
@@ -440,11 +464,15 @@ def q_kg_mentions(spark, sf_dir):
 
 def q_kg_linked(spark, sf_dir):
     m = q_kg_mentions(spark, sf_dir)
-    return link_mentions(m, spark)
+    # `linked` compared as INT (driver-compare convention: no booleans in
+    # outputs — their cross-engine stringification is not part of the
+    # contract)
+    return link_mentions(m, spark).withColumn(
+        "linked", F.col("linked").cast("int"))
 
 
 def q_kg_canonical(spark, sf_dir):
-    lm = q_kg_linked(spark, sf_dir)
+    lm = link_mentions(q_kg_mentions(spark, sf_dir), spark)
     return canonical_entities(lm, spark)
 
 
@@ -1240,14 +1268,16 @@ exploded AS (
 ),
 char_lists AS (
   SELECT e.doc_id, e.pos, e.token,
-         list(coalesce(c.id, 1) ORDER BY e.cpos) AS char_ids
+         CAST(count(*) AS BIGINT) AS n_chars,
+         md5(string_agg(CAST(coalesce(c.id, 1) AS VARCHAR),
+                        ',' ORDER BY e.cpos)) AS char_fp
   FROM exploded e LEFT JOIN chars c ON e.ch = c.ch
   GROUP BY 1, 2, 3
 )
 SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, t.token,
        CAST(CASE WHEN regexp_full_match(t.token, '[0-9]+') THEN 2
             ELSE coalesce(v.id, 1) END AS BIGINT) AS word_id,
-       cl.char_ids
+       cl.n_chars, cl.char_fp
 FROM toks t
 LEFT JOIN vocab v ON lower(t.token) = v.word
 JOIN char_lists cl ON cl.doc_id = t.doc_id AND cl.pos = t.pos
@@ -1269,10 +1299,20 @@ WITH full_vocab AS (
                         ('<NUM>', 2)) v(word, id)
   UNION ALL
   SELECT word, id FROM ({_VOCAB_CTE})
+),
+vecs AS (
+  SELECT word, id,
+         list_transform(CASE WHEN id = 0 THEN {zeros} ELSE {vec} END,
+                        x -> x::DOUBLE) AS dv
+  FROM full_vocab
 )
 SELECT word, id,
-       CASE WHEN id = 0 THEN {zeros} ELSE {vec} END AS vector
-FROM full_vocab
+       CAST(len(dv) AS BIGINT) AS dim,
+       round(dv[1], 6) AS v0,
+       round(dv[len(dv)], 6) AS v_last,
+       round(list_sum(dv)::DOUBLE, 6) AS vsum,
+       round(sqrt(list_dot_product(dv, dv)), 6) AS vnorm
+FROM vecs
 """
 
 
@@ -1470,7 +1510,7 @@ link_map AS (
                   'NIL' || upper(substr(md5(type || ':' || surface), 1, 8)))
            AS cui,
          link_score,
-         acui IS NOT NULL AS linked
+         CAST(acui IS NOT NULL AS INT) AS linked
   FROM ranked WHERE rk = 1
 )"""
 
