@@ -157,13 +157,36 @@ class EmissionCRFTagger:
 
 
 def load_torch_tagger(checkpoint_path: str):
-    """Real-weights path (S5/M1): requires torch, absent in this container."""
+    """Real-weights path (S5/M1): requires torch, absent in this container.
+    The working alternative is save/load_numpy_tagger below — a torch
+    checkpoint converts offline into the same .npz weight archive."""
     try:
         import torch  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "torch is not installed in this environment; the neural tagger "
-            "runs via EmissionCRFTagger(emissions_fn=...) with exported "
-            "numpy weights, or install torch and load the checkpoint here"
+            "torch is not installed in this environment; export the "
+            "checkpoint's state_dict to .npz offline and use "
+            "load_numpy_tagger(path), or install torch and load here"
         ) from e
     raise NotImplementedError("checkpoint loading: supply exported weights")
+
+
+def save_numpy_checkpoint(weights: dict, path: str) -> None:
+    """S5 sink twin: persist a NumpyCombinatorialNER weight dict as .npz
+    (the export format a torch state_dict converts into offline)."""
+    np.savez(path, **weights)
+
+
+def load_numpy_tagger(checkpoint_path: str, seed: int = 42,
+                      decode: str = "crf") -> "EmissionCRFTagger":
+    """S5/M1 loader: .npz weight archive -> NumpyCombinatorialNER ->
+    EmissionCRFTagger, ready for extract_mentions_arrow(tagger=...).
+    Shapes are validated against the architecture on construction."""
+    from .neural import NumpyCombinatorialNER
+
+    with np.load(checkpoint_path) as z:
+        weights = {k: z[k] for k in z.files}
+    model = NumpyCombinatorialNER(
+        n_tags=len(TAGSET), seed=seed, weights=weights)
+    return EmissionCRFTagger(
+        seed=seed, decode=decode, emissions_from_tokens=model.emissions)

@@ -71,3 +71,23 @@ def test_neural_tagger_through_extract_dag(spark):
         assert r.tag.startswith("B-")
         assert r.start_position <= r.end_position
         assert len(r.tokens) == r.end_position - r.start_position + 1
+
+
+def test_numpy_checkpoint_roundtrip(tmp_path):
+    """S5: save a weight archive, load it into a tagger, and the loaded
+    model's emissions must equal the source model's exactly."""
+    from biomedical_ner_spark.core.tagger import (
+        load_numpy_tagger,
+        save_numpy_checkpoint,
+    )
+
+    src = NumpyCombinatorialNER(n_tags=len(TAGSET), seed=3)
+    path = str(tmp_path / "ckpt.npz")
+    save_numpy_checkpoint(src.w, path)
+    tagger = load_numpy_tagger(path, seed=3)
+    batch = _golden_tokens()
+    em_loaded = tagger.emissions_from_tokens(batch, len(TAGSET))
+    em_src = src.emissions(batch, len(TAGSET))
+    assert np.array_equal(em_loaded, em_src)
+    tags = tagger.tag_batch(batch)
+    assert [len(t) for t in tags] == [len(b) for b in batch]
