@@ -595,6 +595,141 @@ def _scratch(name: str, sf_dir: str) -> str:
     return f"{base}/bns_scratch/{name}_{tag}"
 
 
+VITERBI_N_SEQS = 30
+VITERBI_MAX_T = 12
+
+
+def q_viterbi_decode(spark, sf_dir):
+    """M2 driver-checked: the batched numpy Viterbi decode
+    (core.tagger.viterbi_batch — the pytorch-crf decode twin) over
+    deterministic md5-derived emission/transition tables, run inside
+    mapInPandas exactly as the real tagger path runs it.  The DuckDB twin
+    replays the DP with unrolled per-step max-aggregations and an
+    unrolled argmax backtrace; best scores are bit-identical (same
+    left-to-right double additions along the optimal path) and the full
+    decoded path is compared via fingerprint."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from .core.tagger import TAGSET, viterbi_batch
+
+    K = len(TAGSET)
+
+    def u(key: str) -> float:
+        return (int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+                / 4294967296.0 * 2.0 - 1.0)
+
+    trans = np.array([[u(f"vtr:{p}:{s}") for s in range(K)]
+                      for p in range(K)])
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                ln = 1 + (i % VITERBI_MAX_T)
+                em = np.array([[u(f"vit:{i}:{t}:{s}") for s in range(K)]
+                               for t in range(ln)])[None, :, :]
+                path = viterbi_batch(em, trans, np.array([ln]))[0]
+                # score accumulated in the DP's own order:
+                # ((score + trans) + em) left to right
+                score = em[0, 0, path[0]]
+                for t in range(1, ln):
+                    score = (score + trans[path[t - 1], path[t]]) \
+                        + em[0, t, path[t]]
+                rows.append((
+                    i, ln, round(float(score), 6),
+                    hashlib.md5(",".join(str(s) for s in path).encode())
+                    .hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["seq_id", "seq_len", "best_score", "path_fp"])
+
+    base = spark.range(VITERBI_N_SEQS).select(F.col("id").alias("i"))
+    return base.repartition(4).mapInPandas(
+        _run,
+        schema="seq_id BIGINT, seq_len BIGINT, best_score DOUBLE,"
+               " path_fp STRING",
+    )
+
+
+def _sql_viterbi_decode() -> str:
+    from .core.tagger import TAGSET
+
+    K = len(TAGSET)
+    N, T = VITERBI_N_SEQS, VITERBI_MAX_T
+
+    def md5u(key_expr: str) -> str:
+        return ("(('0x' || substr(md5(" + key_expr + "), 1, 8))::UBIGINT"
+                " / 4294967296.0 * 2.0 - 1.0)")
+
+    tr_key = "'vtr:' || p.range || ':' || s.range"
+    em_key = "'vit:' || i || ':' || t.range || ':' || s.range"
+    ctes = [
+        f"seqs AS (SELECT range AS i, 1 + (range % {T}) AS len"
+        f" FROM range({N}))",
+        f"trans AS (SELECT p.range AS p, s.range AS s, {md5u(tr_key)} AS w"
+        f" FROM range({K}) p, range({K}) s)",
+        f"em AS (SELECT i, t.range AS t, s.range AS s, {md5u(em_key)} AS e"
+        f" FROM seqs, range({T}) t, range({K}) s WHERE t.range < len)",
+        "dp0 AS (SELECT i, s, e AS score FROM em WHERE t = 0)",
+    ]
+    for t in range(1, T):
+        ctes.append(
+            f"dp{t} AS (SELECT prev.i, tr.s,"
+            f" max(prev.score + tr.w) + any_value(em.e) AS score"
+            f" FROM dp{t-1} prev JOIN trans tr ON tr.p = prev.s"
+            f" JOIN em ON em.i = prev.i AND em.t = {t} AND em.s = tr.s"
+            f" GROUP BY prev.i, tr.s)")
+    # backtrace, unrolled descending: at a sequence's last step pick the
+    # argmax state; earlier steps pick argmax_p dp_t(p) + trans(p, next)
+    for t in range(T - 1, -1, -1):
+        last_pick = (
+            f"SELECT i, s FROM ("
+            f"  SELECT i, s, row_number() OVER ("
+            f"    PARTITION BY i ORDER BY score DESC, s ASC) AS rk"
+            f"  FROM dp{t}"
+            f"  WHERE i IN (SELECT i FROM seqs WHERE len = {t + 1})"
+            f") WHERE rk = 1"
+        )
+        if t == T - 1:
+            ctes.append(f"ch{t} AS ({last_pick})")
+        else:
+            ctes.append(
+                f"ch{t} AS ({last_pick}"
+                f" UNION ALL"
+                f" SELECT i, s FROM ("
+                f"   SELECT d.i, d.s,"
+                f"     row_number() OVER (PARTITION BY d.i"
+                f"       ORDER BY d.score + tr.w DESC, d.s ASC) AS rk"
+                f"   FROM dp{t} d"
+                f"   JOIN ch{t + 1} nxt ON nxt.i = d.i"
+                f"   JOIN trans tr ON tr.p = d.s AND tr.s = nxt.s"
+                f" ) WHERE rk = 1)")
+    path_union = " UNION ALL ".join(
+        f"SELECT i, {t} AS t, s FROM ch{t}" for t in range(T))
+    finals = " UNION ALL ".join(
+        f"SELECT i, score FROM dp{t}"
+        f" WHERE i IN (SELECT i FROM seqs WHERE len = {t + 1})"
+        for t in range(T))
+    ctes.append(f"path_rows AS ({path_union})")
+    ctes.append(f"fin AS ({finals})")
+    ctes.append("best AS (SELECT i, max(score) AS best_score FROM fin"
+                " GROUP BY i)")
+    ctes.append(
+        "paths AS (SELECT i,"
+        " md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY t)) AS path_fp"
+        " FROM path_rows GROUP BY i)")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT seqs.i AS seq_id, CAST(seqs.len AS BIGINT) AS seq_len,
+       round(best.best_score, 6) AS best_score, paths.path_fp
+FROM seqs JOIN best ON best.i = seqs.i JOIN paths ON paths.i = seqs.i
+""")
+
+
 def q_conll_scan(spark, sf_dir):
     """S1 round-trip (utils/fonctions.py:17-59 semantics): render documents
     as CoNLL TSV blocks (token\\ttag lines, a -DOCSTART- header to exercise
@@ -1806,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_tokens": q_encoded_tokens,
         "lang_id": q_lang_id,
         "export_json": q_export_json,
+        "viterbi_decode": q_viterbi_decode,
         "sequential_split": q_sequential_split,
         "shuffled_split": q_shuffled_split,
         "corpus_union": q_corpus_union,
@@ -1864,6 +2000,7 @@ def oracle_sql() -> dict[str, str]:
         "encoded_tokens": _sql_encoded_tokens(),
         "lang_id": _sql_lang_id(),
         "export_json": _sql_export_json(),
+        "viterbi_decode": _sql_viterbi_decode(),
         "sequential_split": _sql_sequential_split(),
         "shuffled_split": _sql_shuffled_split(),
         "corpus_union": _sql_corpus_union(),
