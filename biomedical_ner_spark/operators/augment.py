@@ -17,7 +17,6 @@ transform is distributed.
 from __future__ import annotations
 
 import hashlib
-import random
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,19 +54,26 @@ def default_synonyms() -> dict[str, list[str]]:
     }
 
 
+def _aug_u32(seed: int, i: int, kind: str) -> int:
+    return int(hashlib.md5(
+        f"aug:{seed}:{i}:{kind}".encode()).hexdigest()[:8], 16)
+
+
 def augment_sentence_py(tokens: list[str], labels: list[str], seed: int,
                         synonyms: dict[str, list[str]],
                         replace_prob: float = 0.3) -> tuple[list[str], list[str]]:
-    """Single-sentence transform — shared by the Spark stage and the pytest
-    oracle.  Only O-tagged, plausible words with a synonym are replaced."""
-    rng = random.Random(seed)
+    """Single-sentence transform — shared by the Spark stage, the pytest
+    oracle, AND the DuckDB query twin.  Only O-tagged, plausible words
+    with a synonym are replaced.  Decisions are md5-derived per (seed,
+    position) instead of a sequential RNG so the SQL oracle replays them
+    exactly (and they stay independent of iteration order)."""
     out = list(tokens)
     for i, (tok, lab) in enumerate(zip(tokens, labels)):
         if lab != "O" or not is_plausible(tok):
             continue
         syns = synonyms.get(tok.lower())
-        if syns and rng.random() < replace_prob:
-            out[i] = syns[rng.randrange(len(syns))]
+        if syns and _aug_u32(seed, i, "r") / 4294967296.0 < replace_prob:
+            out[i] = syns[_aug_u32(seed, i, "p") % len(syns)]
     return out, list(labels)
 
 

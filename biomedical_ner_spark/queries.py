@@ -595,6 +595,84 @@ def _scratch(name: str, sf_dir: str) -> str:
     return f"{base}/bns_scratch/{name}_{tag}"
 
 
+def q_augmented_sentences(spark, sf_dir):
+    """M4 driver-checked: the per-sentence synonym-replacement transform
+    (augment.augment_sentence_py inside the real mapInPandas stage) with
+    md5-derived decisions, fingerprint-compared against a DuckDB twin that
+    replays seed derivation, plausibility, the replace coin-flip, and the
+    synonym pick per position."""
+    from .operators.augment import augment_sentences
+
+    t = _tags(spark, sf_dir)
+    sent = (
+        t.groupBy("doc_id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("pos", "token", "tag"))).alias("e"))
+        .select(
+            "doc_id",
+            F.expr("transform(e, x -> x.token)").alias("tokens"),
+            F.expr("transform(e, x -> x.tag)").alias("labels"),
+        )
+    )
+    aug = augment_sentences(sent, spark, n_copies=1)
+    return aug.select(
+        "doc_id", "copy_idx",
+        F.md5(F.array_join("tokens", "|")).alias("toks_fp"),
+        F.md5(F.array_join("labels", "|")).alias("labels_fp"),
+    )
+
+
+def _sql_augmented_sentences() -> str:
+    from .operators.augment import _STOP, default_synonyms
+
+    stop_in = ", ".join(f"'{w}'" for w in sorted(_STOP))
+    u32 = lambda kind: (  # noqa: E731
+        "('0x' || substr(md5('aug:' || sd || ':' || (i - 1) ||"
+        f" ':{kind}'), 1, 8))::UBIGINT"
+    )
+    whens = []
+    for w, syns in sorted(default_synonyms().items()):
+        picks = " ".join(
+            f"WHEN {j} THEN '{s}'" for j, s in enumerate(syns))
+        whens.append(
+            f"WHEN lower(tok) = '{w}' AND"
+            f" {u32('r')} / 4294967296.0 < 0.3"
+            f" THEN (CASE {u32('p')} % {len(syns)} {picks} END)")
+    syn_case = "CASE " + " ".join(whens) + " ELSE tok END"
+    plausible = (
+        "(length(tok) >= 2 AND regexp_full_match(lower(tok), '[a-z_-]+')"
+        f" AND lower(tok) NOT IN ({stop_in}))"
+    )
+    return f"""
+WITH t AS ({_TAGS_CTE}),
+sent AS (
+  SELECT doc_id,
+         list(token ORDER BY pos) AS toks,
+         list(tag ORDER BY pos) AS labels
+  FROM t GROUP BY doc_id
+),
+seeded AS (
+  SELECT doc_id, toks, labels,
+         CAST(('0x' || substr(md5(doc_id || ':0:42'), 1, 16))::UBIGINT
+              AS VARCHAR) AS sd
+  FROM sent
+),
+aug AS (
+  SELECT doc_id,
+         list_transform(toks, (tok, i) ->
+           CASE WHEN labels[i] <> 'O' THEN tok
+                WHEN NOT {plausible} THEN tok
+                ELSE {syn_case} END) AS atoks,
+         labels
+  FROM seeded
+)
+SELECT doc_id, CAST(0 AS INT) AS copy_idx,
+       md5(array_to_string(atoks, '|')) AS toks_fp,
+       md5(array_to_string(labels, '|')) AS labels_fp
+FROM aug
+"""
+
+
 VITERBI_N_SEQS = 30
 VITERBI_MAX_T = 12
 
@@ -639,19 +717,24 @@ def q_viterbi_decode(spark, sf_dir):
                 for t in range(1, ln):
                     score = (score + trans[path[t - 1], path[t]]) \
                         + em[0, t, path[t]]
+                # M3 argmax fallback (app.py:285-293) on the same emissions
+                am = [int(x) for x in np.argmax(em[0, :ln], axis=1)]
                 rows.append((
                     i, ln, round(float(score), 6),
                     hashlib.md5(",".join(str(s) for s in path).encode())
                     .hexdigest(),
+                    hashlib.md5(",".join(str(s) for s in am).encode())
+                    .hexdigest(),
                 ))
             yield pd.DataFrame(
-                rows, columns=["seq_id", "seq_len", "best_score", "path_fp"])
+                rows, columns=["seq_id", "seq_len", "best_score", "path_fp",
+                               "argmax_fp"])
 
     base = spark.range(VITERBI_N_SEQS).select(F.col("id").alias("i"))
     return base.repartition(4).mapInPandas(
         _run,
         schema="seq_id BIGINT, seq_len BIGINT, best_score DOUBLE,"
-               " path_fp STRING",
+               " path_fp STRING, argmax_fp STRING",
     )
 
 
@@ -722,11 +805,23 @@ def _sql_viterbi_decode() -> str:
         "paths AS (SELECT i,"
         " md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY t)) AS path_fp"
         " FROM path_rows GROUP BY i)")
+    ctes.append(
+        "am_pick AS (SELECT i, t, s FROM ("
+        "  SELECT i, t, s, row_number() OVER ("
+        "    PARTITION BY i, t ORDER BY e DESC, s ASC) AS rk FROM em"
+        ") WHERE rk = 1)")
+    ctes.append(
+        "am AS (SELECT i,"
+        " md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY t)) AS argmax_fp"
+        " FROM am_pick GROUP BY i)")
     return (
         "WITH " + ",\n".join(ctes) + """
 SELECT seqs.i AS seq_id, CAST(seqs.len AS BIGINT) AS seq_len,
-       round(best.best_score, 6) AS best_score, paths.path_fp
-FROM seqs JOIN best ON best.i = seqs.i JOIN paths ON paths.i = seqs.i
+       round(best.best_score, 6) AS best_score, paths.path_fp, am.argmax_fp
+FROM seqs
+JOIN best ON best.i = seqs.i
+JOIN paths ON paths.i = seqs.i
+JOIN am ON am.i = seqs.i
 """)
 
 
@@ -1942,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "export_json": q_export_json,
         "viterbi_decode": q_viterbi_decode,
+        "augmented_sentences": q_augmented_sentences,
         "sequential_split": q_sequential_split,
         "shuffled_split": q_shuffled_split,
         "corpus_union": q_corpus_union,
@@ -2001,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "export_json": _sql_export_json(),
         "viterbi_decode": _sql_viterbi_decode(),
+        "augmented_sentences": _sql_augmented_sentences(),
         "sequential_split": _sql_sequential_split(),
         "shuffled_split": _sql_shuffled_split(),
         "corpus_union": _sql_corpus_union(),
