@@ -147,18 +147,36 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3,
             f" i -> md5(concat(cast(i AS STRING), ':', shingle)))"
         ).alias("harr"),
     )
-    per_doc = (
+    per_doc = minhash_signatures_wide(docs, text_col, n, n_hashes)
+    stack_args = ", ".join(f"{i}, h{i}" for i in range(n_hashes))
+    return per_doc.selectExpr(
+        "doc_id",
+        f"stack({n_hashes}, {stack_args}) AS (hash_idx, minhash)",
+    )
+
+
+def minhash_signatures_wide(docs: DataFrame, text_col: str = "text",
+                            n: int = 3,
+                            n_hashes: int = N_BANDS * ROWS_PER_BAND
+                            ) -> DataFrame:
+    """(doc_id, h0..h{n_hashes-1}): one row per doc with every min-hash as
+    a column — the internal shape the banding consumes without any
+    explode/regroup."""
+    sh = _shingles(docs, text_col, n)
+    dim = sh.select("shingle").distinct().select(
+        "shingle",
+        F.expr(
+            f"transform(sequence(0, {n_hashes - 1}),"
+            f" i -> md5(concat(cast(i AS STRING), ':', shingle)))"
+        ).alias("harr"),
+    )
+    return (
         sh.join(F.broadcast(dim), "shingle")
         .groupBy("doc_id")
         .agg(*[
             F.min(F.element_at("harr", i + 1)).alias(f"h{i}")
             for i in range(n_hashes)
         ])
-    )
-    stack_args = ", ".join(f"{i}, h{i}" for i in range(n_hashes))
-    return per_doc.selectExpr(
-        "doc_id",
-        f"stack({n_hashes}, {stack_args}) AS (hash_idx, minhash)",
     )
 
 
@@ -168,17 +186,28 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
     """MinHash-LSH near-dup candidates: band the signature, bucket-join on
     (band, concatenated band signature), emit distinct candidate pairs.
     Shuffle key is the bucket id — bounded fanout per bucket at scale via
-    the banding parameters."""
-    sig = minhash_signatures(docs, text_col, n, n_bands * rows_per_band)
-    banded = (
-        sig.withColumn("band", F.col("hash_idx") % n_bands)
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws("|", F.sort_array(F.collect_list("minhash")))
-            ).alias("bucket")
+    the banding parameters.
+
+    Band b's bucket is computed straight from the WIDE signature row
+    (band b holds hash indices {b, b+n_bands, ...} — the hash_idx %%
+    n_bands rule, unchanged for the oracle): no explode + regroup, so the
+    whole candidates plan is shingle-agg -> per-doc agg -> one band
+    explode -> bucket self-join."""
+    n_hashes = n_bands * rows_per_band
+    wide = minhash_signatures_wide(docs, text_col, n, n_hashes)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', md5(concat_ws('|', "
+        "sort_array(array({cols})))))".format(
+            b=b,
+            cols=", ".join(f"h{i}" for i in range(n_hashes)
+                           if i % n_bands == b),
         )
+        for b in range(n_bands)
     )
+    banded = wide.select(
+        "doc_id",
+        F.explode(F.expr(f"array({band_structs})")).alias("e"),
+    ).select("doc_id", "e.band", "e.bucket")
     a = banded.select("band", "bucket", F.col("doc_id").alias("a"))
     b = banded.select("band", "bucket", F.col("doc_id").alias("b"))
     return (
