@@ -133,20 +133,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3,
     md5(i || shingle) over the doc's shingles.  md5-hex min is a valid
     min-wise hash and is engine-portable for the DuckDB oracle.
 
-    Shape: hash each DISTINCT shingle once into an n_hashes ARRAY
-    (vocabulary-bounded dim), broadcast it back onto the doc-shingle
-    pairs, then ONE groupBy(doc_id) computing all n_hashes mins as
-    separate columns (element_at is plain codegen, not an interpreted
-    HOF) and unpivoting with stack().  The shuffle into the agg carries
-    one row per doc-shingle pair — not pairs x n_hashes rows."""
-    sh = _shingles(docs, text_col, n)
-    dim = sh.select("shingle").distinct().select(
-        "shingle",
-        F.expr(
-            f"transform(sequence(0, {n_hashes - 1}),"
-            f" i -> md5(concat(cast(i AS STRING), ':', shingle)))"
-        ).alias("harr"),
-    )
+    Shape: see minhash_signatures_wide; this is its stack() unpivot."""
     per_doc = minhash_signatures_wide(docs, text_col, n, n_hashes)
     stack_args = ", ".join(f"{i}, h{i}" for i in range(n_hashes))
     return per_doc.selectExpr(
@@ -161,23 +148,20 @@ def minhash_signatures_wide(docs: DataFrame, text_col: str = "text",
                             ) -> DataFrame:
     """(doc_id, h0..h{n_hashes-1}): one row per doc with every min-hash as
     a column — the internal shape the banding consumes without any
-    explode/regroup."""
+    explode/regroup.
+
+    All n_hashes md5s are computed INLINE on the doc-shingle stream
+    (shingles are already distinct per doc via _shingles), then ONE
+    groupBy(doc_id) takes the n_hashes mins map-side-combined.  No
+    distinct-shingle dim anywhere: a dim table is the corpus vocabulary,
+    which grows with the data — at 100 TB a broadcast of it cannot ship
+    and even a shuffle join of it doubles the I/O.  16 md5s of a short
+    string per row is pure codegen and strictly cheaper."""
     sh = _shingles(docs, text_col, n)
-    dim = sh.select("shingle").distinct().select(
-        "shingle",
-        F.expr(
-            f"transform(sequence(0, {n_hashes - 1}),"
-            f" i -> md5(concat(cast(i AS STRING), ':', shingle)))"
-        ).alias("harr"),
-    )
-    return (
-        sh.join(F.broadcast(dim), "shingle")
-        .groupBy("doc_id")
-        .agg(*[
-            F.min(F.element_at("harr", i + 1)).alias(f"h{i}")
-            for i in range(n_hashes)
-        ])
-    )
+    return sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ])
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
@@ -228,17 +212,20 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     toks = F.expr(
         f"regexp_extract_all(lower({text_col}), '{SQL_TOKEN_PATTERN}', 0)"
     )
-    # count token instances per doc, hash each DISTINCT token once, join the
-    # broadcast (token, h) dim: per-bit sums become count-weighted
+    # count token instances per doc (so per-bit sums are count-weighted)
+    # and hash the token INLINE on that distinct-(doc, token) stream: a
+    # (token, h) dim table is the corpus vocabulary — unboundedly growing,
+    # so at 100 TB neither broadcastable nor worth a shuffle join when the
+    # hash is one md5 per row of codegen
     t = (
         docs.select("doc_id", F.explode(toks).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "h",
+            F.expr("cast(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"),
+        )
     )
-    dim = t.select("token").distinct().withColumn(
-        "h", F.expr("cast(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)")
-    )
-    t = t.join(F.broadcast(dim), "token")
     bit_sums = t.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -43,19 +43,25 @@ def _bucketed_rank(df: DataFrame, bucket: Column,
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     total = sum(counts.values())
-    offsets, acc = {}, 0
+    if not counts:
+        return with_bucket.withColumn("_rn", F.lit(0)).drop("_bkt"), 0
+    # Cumulative offsets travel back as a broadcast-joined dim, not a
+    # create_map literal: the dim is bucket-count-bounded (metadata-scale,
+    # like range-partition boundaries), and a join keeps the plan size flat
+    # when callers use fine-grained buckets (vocab_build's freq x first-char
+    # buckets can reach 10^5+ at web scale; a 10^5-entry map literal would
+    # not compile).
+    offsets, acc = [], 0
     for b in sorted(counts):
-        offsets[b] = acc
+        offsets.append((b, acc))
         acc += counts[b]
-    offset_col = F.element_at(
-        F.create_map(*[F.lit(x) for b in sorted(offsets)
-                       for x in (b, offsets[b])]),
-        F.col("_bkt"),
-    ) if offsets else F.lit(0)
+    off_df = df.sparkSession.createDataFrame(
+        offsets, schema=["_bkt", "_off"])
     w = Window.partitionBy("_bkt").orderBy(*order_cols)
     ranked = (
-        with_bucket.withColumn("_rn", F.row_number().over(w) + offset_col)
-        .drop("_bkt")
+        with_bucket.join(F.broadcast(off_df), "_bkt")
+        .withColumn("_rn", F.row_number().over(w) + F.col("_off"))
+        .drop("_bkt", "_off")
     )
     return ranked, total
 

@@ -9,9 +9,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..lexicon import entity_name_case_sql
+from .splits import _bucketed_rank
 
 
 def entity_type_counts(mentions_df: DataFrame) -> DataFrame:
@@ -63,6 +63,14 @@ def vocab_build(tokens_df: DataFrame, min_freq: int = 2) -> DataFrame:
     Id order: by count desc then word asc (deterministic; the reference's
     insertion order is not reproducible distributed, so the id *rule* is
     normalized — the (word, count) set is identical).
+
+    Scale: dense ids need a global total order, but the corpus never
+    funnels through one task — the two-pass bucket-offset rank
+    (splits._bucketed_rank) with a bucket MONOTONE in (freq desc, word
+    asc): fixed-width hex of (2^62 - freq) concatenated with the word's
+    first char.  Bucket cardinality is distinct-freq x leading-char —
+    metadata-scale even for 10^8-word web vocabularies — and each
+    per-bucket window sorts only its own slice.
     """
     counted = (
         tokens_df.select(F.lower("token").alias("word"))
@@ -70,8 +78,14 @@ def vocab_build(tokens_df: DataFrame, min_freq: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_freq)
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("word"))
-    return counted.withColumn("id", F.row_number().over(w) + F.lit(2))
+    bucket = F.concat(
+        F.lpad(F.hex(F.lit(2 ** 62) - F.col("freq")), 16, "0"),
+        F.substring("word", 1, 1),
+    )
+    ranked, _ = _bucketed_rank(
+        counted, bucket, [F.desc("freq"), F.asc("word")])
+    return ranked.withColumn("id", (F.col("_rn") + F.lit(2)).cast("int")) \
+        .drop("_rn")
 
 
 def char_inventory(tokens_df: DataFrame) -> DataFrame:
@@ -82,18 +96,19 @@ def char_inventory(tokens_df: DataFrame) -> DataFrame:
         .filter(F.col("ch") != "")
         .distinct()
     )
-    w = Window.orderBy("ch")
-    return chars.withColumn("id", F.row_number().over(w) + F.lit(1))
+    # universe is bounded (alphabet) but the same bucket-offset rank keeps
+    # every plan free of partition-less windows; bucket = the char itself
+    ranked, _ = _bucketed_rank(chars, F.col("ch"), [F.col("ch")])
+    return ranked.withColumn("id", (F.col("_rn") + F.lit(1)).cast("int")) \
+        .drop("_rn")
 
 
 def tag_map(tags_df: DataFrame) -> DataFrame:
     """A3 — distinct tags sorted, ids from 1 after <PAD>=0
     (utils/creation_vocabulaire.py:169-174)."""
-    w = Window.orderBy("tag")
-    return (
-        tags_df.select("tag").distinct()
-        .withColumn("id", F.row_number().over(w))
-    )
+    tags = tags_df.select("tag").distinct()
+    ranked, _ = _bucketed_rank(tags, F.col("tag"), [F.col("tag")])
+    return ranked.withColumn("id", F.col("_rn").cast("int")).drop("_rn")
 
 
 def corpus_stats(tags_df: DataFrame, group_col: str = "lang") -> DataFrame:
