@@ -62,6 +62,16 @@ class NumpyCombinatorialNER:
     Weights are seeded standard-normal (scaled 1/sqrt(fan_in)) unless a
     ``weights`` dict of identically-shaped arrays is supplied — the export
     format a real torch checkpoint converts into.
+
+    ``dataset`` mirrors the reference's fusion branch (models/models.py:
+    117-129): the JNLPBA config's FC fusion is Linear+Dropout only
+    (identity here, inference mode), the NCBI config adds a ReLU.
+
+    ``word_vocab_map`` / ``char_vocab_map`` (token -> row, char -> row)
+    plug in a real checkpoint's vocabulary so embedding rows are looked
+    up by the trained indices (the operators/encode.py mappings);
+    without them, ids fall back to md5/ord hashing — fine for the
+    seeded demo, wrong for real exported weights.
     """
 
     def __init__(self, n_tags: int, seed: int = 42,
@@ -70,12 +80,20 @@ class NumpyCombinatorialNER:
                  char_filters: int = 32, kernels: Sequence[int] = (3, 5, 7),
                  char_hidden: int = 50, fusion_dim: int = 200,
                  lstm_hidden: int = 256, max_word_len: int = 20,
-                 weights: dict[str, np.ndarray] | None = None):
+                 weights: dict[str, np.ndarray] | None = None,
+                 dataset: str = "jnlpba",
+                 word_vocab_map: dict[str, int] | None = None,
+                 char_vocab_map: dict[str, int] | None = None):
+        if dataset not in ("jnlpba", "ncbi"):
+            raise ValueError(f"unknown dataset config: {dataset!r}")
         self.n_tags = n_tags
         self.word_vocab = word_vocab
         self.char_vocab = char_vocab
         self.kernels = tuple(kernels)
         self.max_word_len = max_word_len
+        self.fusion_relu = dataset == "ncbi"
+        self.word_vocab_map = word_vocab_map
+        self.char_vocab_map = char_vocab_map
         rng = np.random.default_rng(seed)
 
         def mk(*shape: int) -> np.ndarray:
@@ -99,7 +117,7 @@ class NumpyCombinatorialNER:
             "char_Wi_b": mk(char_dim, 4 * char_hidden),
             "char_Wh_b": mk(char_hidden, 4 * char_hidden),
             "char_b_b": np.zeros(4 * char_hidden),
-            # FC fusion (combined -> 200) + ReLU
+            # FC fusion (combined -> 200); ReLU only in the NCBI config
             "fusion_W": mk(combined, fusion_dim),
             "fusion_b": np.zeros(fusion_dim),
             # context BiLSTM (fusion_dim -> lstm_hidden)
@@ -121,8 +139,17 @@ class NumpyCombinatorialNER:
         w["word_emb"][0] = 0.0
         w["char_emb"][0] = 0.0
         if weights is not None:
+            unknown = sorted(set(weights) - set(w))
+            if unknown:
+                raise ValueError(
+                    f"unknown weight keys {unknown}; expected a subset of "
+                    f"{sorted(w)} (note: CRF 'transitions' belongs to "
+                    "EmissionCRFTagger, not the emission network)")
             for k_, v in weights.items():
-                assert w[k_].shape == v.shape, (k_, w[k_].shape, v.shape)
+                if w[k_].shape != v.shape:
+                    raise ValueError(
+                        f"shape mismatch for {k_}: checkpoint {v.shape} "
+                        f"vs architecture {w[k_].shape}")
                 w[k_] = v
         self.w = w
 
@@ -134,13 +161,22 @@ class NumpyCombinatorialNER:
         word_ids = np.zeros((B, max_len), dtype=np.int64)
         char_ids = np.zeros((B, max_len, W), dtype=np.int64)
         mask = np.zeros((B, max_len), dtype=bool)
+        wmap, cmap = self.word_vocab_map, self.char_vocab_map
         for i, toks in enumerate(batch):
             for j, tok in enumerate(toks[:max_len]):
-                h = hashlib.md5(tok.lower().encode()).digest()
-                word_ids[i, j] = int.from_bytes(h[:4], "big") % self.word_vocab
+                if wmap is not None:  # checkpoint vocab: <UNK>=1 convention
+                    word_ids[i, j] = wmap.get(tok.lower(), 1)
+                else:
+                    h = hashlib.md5(tok.lower().encode()).digest()
+                    word_ids[i, j] = (
+                        int.from_bytes(h[:4], "big") % self.word_vocab)
                 mask[i, j] = True
                 for c_i, ch in enumerate(tok[:W]):
-                    char_ids[i, j, c_i] = (ord(ch) % (self.char_vocab - 1)) + 1
+                    if cmap is not None:
+                        char_ids[i, j, c_i] = cmap.get(ch, 1)
+                    else:
+                        char_ids[i, j, c_i] = (
+                            ord(ch) % (self.char_vocab - 1)) + 1
         return word_ids, char_ids, mask
 
     def _char_cnn(self, ce: np.ndarray) -> np.ndarray:
@@ -183,7 +219,9 @@ class NumpyCombinatorialNER:
         clstm = _bilstm(ce, w, "char").max(axis=1).reshape(B, T, -1)
         combined = np.concatenate([we, cnn, clstm], axis=-1)
 
-        fused = np.maximum(combined @ w["fusion_W"] + w["fusion_b"], 0.0)
+        fused = combined @ w["fusion_W"] + w["fusion_b"]
+        if self.fusion_relu:  # NCBI fusion branch (models/models.py:117-129)
+            fused = np.maximum(fused, 0.0)
         h = _bilstm(fused, w, "ctx")                       # [B, T, 256]
 
         # Manhattan attention (models/models.py:58-72): score(i, j) =

@@ -178,15 +178,30 @@ def save_numpy_checkpoint(weights: dict, path: str) -> None:
 
 
 def load_numpy_tagger(checkpoint_path: str, seed: int = 42,
-                      decode: str = "crf") -> "EmissionCRFTagger":
+                      decode: str = "crf",
+                      dataset: str = "jnlpba") -> "EmissionCRFTagger":
     """S5/M1 loader: .npz weight archive -> NumpyCombinatorialNER ->
     EmissionCRFTagger, ready for extract_mentions_arrow(tagger=...).
-    Shapes are validated against the architecture on construction."""
+    Shapes are validated against the architecture on construction
+    (unknown keys raise ValueError, not KeyError).
+
+    A ``transitions`` array in the archive is the learned CRF transition
+    matrix (the reference checkpoint's torchcrf layer, models/models.py:
+    163) and is installed on the tagger; without it, decode falls back to
+    the seeded transitions — emissions round-trip exactly either way."""
     from .neural import NumpyCombinatorialNER
 
     with np.load(checkpoint_path) as z:
         weights = {k: z[k] for k in z.files}
+    transitions = weights.pop("transitions", None)
     model = NumpyCombinatorialNER(
-        n_tags=len(TAGSET), seed=seed, weights=weights)
-    return EmissionCRFTagger(
+        n_tags=len(TAGSET), seed=seed, weights=weights, dataset=dataset)
+    tagger = EmissionCRFTagger(
         seed=seed, decode=decode, emissions_from_tokens=model.emissions)
+    if transitions is not None:
+        if transitions.shape != tagger.transitions.shape:
+            raise ValueError(
+                f"CRF transitions shape {transitions.shape} != "
+                f"{tagger.transitions.shape}")
+        tagger.transitions = transitions.astype(np.float32)
+    return tagger

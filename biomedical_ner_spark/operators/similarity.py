@@ -203,17 +203,27 @@ def lsh_candidates(embeddings: DataFrame, n_planes: int = 8,
 
 def _centroid_ranks(embeddings: DataFrame, n_centroids: int, top_n: int,
                     id_col: str, vec_col: str,
-                    out_col: str = "cid") -> DataFrame:
+                    out_col: str = "cid",
+                    centroid_src: DataFrame | None = None) -> DataFrame:
     """(id, cid) rows: each vector's top_n nearest centroids by rounded
     cosine (centroid-id tie-break), one numpy matmul per Arrow batch.
-    Centroids are the first n_centroids vectors (deterministic sampled
-    centroids, the kmeans++-seed shape); a trained kmeans model drops in
-    as the same collected (cid, vector) list."""
+    Centroids are the first n_centroids vectors of ``centroid_src``
+    (default: ``embeddings`` itself) — deterministic sampled centroids,
+    the kmeans++-seed shape; a trained kmeans model drops in as the same
+    collected (cid, vector) list.  Callers ranking a FILTERED frame must
+    pass the full corpus as centroid_src so assignment and probing see
+    identical centroids."""
     c_rows = (
-        embeddings.where(F.col(id_col) < n_centroids)
+        (centroid_src if centroid_src is not None else embeddings)
+        .where(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .collect()
     )
+    base = embeddings.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("v"))
+    if not c_rows:  # empty centroid set: no assignments, not an AxisError
+        return base.select(
+            "id", F.lit(None).cast("bigint").alias(out_col)).limit(0)
     c_ids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
     C = np.array([list(r["cv"]) for r in c_rows], dtype=np.float64)
     cn = np.sqrt((C * C).sum(axis=1))
@@ -236,8 +246,6 @@ def _centroid_ranks(embeddings: DataFrame, n_centroids: int, top_n: int,
                 out_col: np.concatenate(out_cid),
             })
 
-    base = embeddings.select(F.col(id_col).alias("id"),
-                             F.col(vec_col).alias("v"))
     return base.mapInPandas(gen, schema=f"id bigint, {out_col} bigint")
 
 
@@ -265,6 +273,7 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 100,
     probes = _centroid_ranks(
         embeddings.where(F.col(id_col) < n_queries),
         n_centroids, n_probe, id_col, vec_col,
+        centroid_src=embeddings,
     ).withColumnRenamed("id", "q")
     cand = (
         probes.join(assign.select(F.col("id").alias("c"), "cid"), "cid")

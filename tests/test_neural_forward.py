@@ -73,6 +73,67 @@ def test_neural_tagger_through_extract_dag(spark):
         assert len(r.tokens) == r.end_position - r.start_position + 1
 
 
+def test_fusion_relu_gated_on_dataset_config():
+    """Reference fusion branch (models/models.py:117-129): JNLPBA is
+    Linear+Dropout (identity in inference), NCBI adds ReLU — the two
+    configs must produce different emissions from the same weights."""
+    batch = _golden_tokens()
+    jn = NumpyCombinatorialNER(n_tags=len(TAGSET), seed=7, dataset="jnlpba")
+    nc = NumpyCombinatorialNER(n_tags=len(TAGSET), seed=7, dataset="ncbi")
+    assert not np.array_equal(
+        jn.emissions(batch, len(TAGSET)), nc.emissions(batch, len(TAGSET)))
+    try:
+        NumpyCombinatorialNER(n_tags=len(TAGSET), dataset="bogus")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_unknown_weight_key_raises_value_error():
+    try:
+        NumpyCombinatorialNER(
+            n_tags=len(TAGSET), seed=7,
+            weights={"transitions": np.zeros((3, 3))})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "transitions" in str(e)
+
+
+def test_checkpoint_vocab_maps_drive_embedding_lookup():
+    """A real checkpoint's vocab mapping (operators/encode.py shape) must
+    select embedding rows by the trained indices: two tokens that collide
+    under hashing resolve to distinct rows under the map, and unknown
+    tokens hit the <UNK>=1 row."""
+    m = NumpyCombinatorialNER(
+        n_tags=len(TAGSET), seed=7,
+        word_vocab_map={"il-2": 3, "gene": 4}, char_vocab_map={"a": 2})
+    word_ids, char_ids, _ = m._ids([["IL-2", "gene", "alpha"]], 3)
+    assert list(word_ids[0]) == [3, 4, 1]
+    assert char_ids[0, 2, 0] == 2  # 'a' mapped
+    assert char_ids[0, 2, 1] == 1  # 'l' not in char map -> UNK
+
+
+def test_npz_transitions_restore_crf_decode(tmp_path):
+    """S5: a 'transitions' array in the .npz must land on the tagger's CRF
+    (not the emission net) and change decode accordingly."""
+    from biomedical_ner_spark.core.tagger import (
+        load_numpy_tagger,
+        save_numpy_checkpoint,
+    )
+
+    src = NumpyCombinatorialNER(n_tags=len(TAGSET), seed=3)
+    k = len(TAGSET)
+    trans = -10.0 * np.ones((k, k), dtype=np.float32)
+    np.fill_diagonal(trans, 10.0)  # strongly sticky transitions
+    path = str(tmp_path / "ckpt_crf.npz")
+    save_numpy_checkpoint({**src.w, "transitions": trans}, path)
+    tagger = load_numpy_tagger(path, seed=3)
+    assert np.array_equal(tagger.transitions, trans)
+    batch = _golden_tokens()
+    assert [len(t) for t in tagger.tag_batch(batch)] == \
+        [len(b) for b in batch]
+
+
 def test_numpy_checkpoint_roundtrip(tmp_path):
     """S5: save a weight archive, load it into a tagger, and the loaded
     model's emissions must equal the source model's exactly."""

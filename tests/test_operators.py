@@ -265,6 +265,39 @@ def test_ivf_topk_high_recall_on_clustered_vectors(spark):
     assert recall >= 0.9, recall
 
 
+def test_ivf_probe_centroids_independent_of_n_queries(spark):
+    """n_queries < n_centroids must not truncate the probe-side centroid
+    set: probing for query q must be identical whether q arrives alone or
+    with the whole corpus (assignment and probing see the SAME centroids)."""
+    import numpy as np
+
+    from biomedical_ner_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    few = {(r.q, r.c, r.rk) for r in similarity.ivf_topk(
+        df, k=3, n_queries=4, n_centroids=16, n_probe=4).collect()}
+    many = {(r.q, r.c, r.rk) for r in similarity.ivf_topk(
+        df, k=3, n_queries=32, n_centroids=16, n_probe=4).collect()}
+    assert few == {t for t in many if t[0] < 4}
+
+
+def test_centroid_ranks_empty_centroid_set(spark):
+    """Sparse / non-zero-based ids leaving no centroids must yield an
+    empty assignment frame, not a driver-side numpy AxisError."""
+    from biomedical_ner_spark.operators.similarity import _centroid_ranks
+
+    df = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    out = _centroid_ranks(df, n_centroids=16, top_n=1,
+                          id_col="vec_id", vec_col="embedding")
+    assert out.count() == 0
+    assert out.columns == ["id", "cid"]
+
+
 def test_corpus_curation_drops_dups_neardups_and_junk(spark):
     from biomedical_ner_spark.queries import curate_documents
 
