@@ -4,12 +4,15 @@ Format: one `token\tlabel` per line; blank line = sentence boundary;
 `-DOCSTART-` lines skipped; train/devel/test files concatenated (U1).
 
 Distributed formulation: `spark.read.text` preserves no global order, so we
-recover it from (file, line offset) — each input file is read with a
-monotonically increasing per-file line number via zipWithIndex-free SQL:
-a window over a stable synthetic order column materialized by
-`row_number()` per file partition of the text source.  Sentence ids are a
-running sum of blank-line markers (W2 sessionization).  For the ~100 TB
-case the per-file windows parallelize across files.
+recover it PROVABLY from (file, split offset, in-split position): the sort
+key is `_metadata.file_block_start` (the byte offset of the split the line
+came from — splits of one large file order by it) then
+`monotonically_increasing_id` (monotone within a split, since one split is
+read by one task in file order).  Sentence ids are a running sum of
+blank-line markers (W2 sessionization) over that order.  For the ~100 TB
+case the per-file windows parallelize across files, and files larger than
+`spark.sql.files.maxPartitionBytes` stay correct across their splits
+(tests force a multi-split read to prove it).
 """
 
 from __future__ import annotations
@@ -26,14 +29,15 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
         spark.read.text(path)
         .select(
             F.input_file_name().alias("file"),
+            F.col("_metadata.file_block_start").alias("_blk"),
             F.col("value").alias("line"),
         )
     )
-    # per-file line order: monotonically_increasing_id is monotonic within a
-    # partition and text splits preserve in-file order per partition; for
-    # strict correctness we also carry the partition id in the sort key.
+    # provable per-file line order: split byte-offset first (orders the
+    # splits of one large file), then monotonically_increasing_id (monotone
+    # within a split: one split = one task reading in file order)
     raw = raw.withColumn("_lid", F.monotonically_increasing_id())
-    w = Window.partitionBy("file").orderBy("_lid")
+    w = Window.partitionBy("file").orderBy("_blk", "_lid")
     lines = raw.withColumn(
         "is_blank", (F.trim("line") == "").cast("int")
     ).withColumn(
@@ -53,7 +57,8 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     return (
         toks.groupBy("file", "sent_id")
         .agg(
-            F.sort_array(F.collect_list(F.struct("_lid", "token", "label")))
+            F.sort_array(F.collect_list(
+                F.struct("_blk", "_lid", "token", "label")))
             .alias("e")
         )
         .select(

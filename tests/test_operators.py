@@ -195,6 +195,45 @@ def test_conll_roundtrip(spark, tmp_path):
     assert classes == sorted(classes)
 
 
+def test_conll_multi_split_file_preserves_order(spark, tmp_path):
+    """Force spark.sql.files.maxPartitionBytes small enough that ONE CoNLL
+    file is read as many splits: sentence ids and in-sentence token order
+    must still match a sequential parse (the _metadata.file_block_start
+    sort key proof — a sentence spanning a split boundary must not tear)."""
+    from biomedical_ner_spark.sources.conll import read_conll
+
+    n_sent = 1000
+    lines = []
+    expected = []
+    for s in range(n_sent):
+        toks = [(f"tok{s}_{j}", "B-protein" if j == 0 else "O")
+                for j in range(1 + s % 7)]
+        expected.append(tuple(t for t, _ in toks))
+        lines += [f"{t}\t{l}" for t, l in toks] + [""]
+    p = tmp_path / "big.tsv"
+    p.write_text("\n".join(lines) + "\n")
+    assert p.stat().st_size > 8 * 4096  # big enough to split many ways
+    conf = spark.conf
+    old = conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = conf.get("spark.sql.files.openCostInBytes")
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        conf.set("spark.sql.files.openCostInBytes", "0")
+        # prove the file really is read as many splits under this conf
+        n_splits = spark.read.text(str(p)).rdd.getNumPartitions()
+        assert n_splits >= 8, n_splits
+        rows = {r.sent_id: tuple(r.tokens)
+                for r in read_conll(spark, str(p)).collect()}
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old)
+        conf.set("spark.sql.files.openCostInBytes", old_cost)
+    assert len(rows) == n_sent
+    # sent_id is the running blank count: sentence s has sent_id s (tokens
+    # precede the s-th blank for s=0 ... first sentence id 0)
+    got_in_order = [rows[k] for k in sorted(rows)]
+    assert got_in_order == expected
+
+
 def test_ncbi_parse_and_bio_projection(spark, tmp_path):
     from biomedical_ner_spark.sources.ncbi import read_ncbi
 
