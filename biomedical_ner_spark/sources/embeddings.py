@@ -40,6 +40,84 @@ def seeded_vector(word: str, dim: int = EMB_DIM, scale: float = 0.1) -> list[flo
     ]
 
 
+MIN_N, MAX_N = 3, 6  # reference FastText config (fonctionsFaxtText.py:131)
+
+
+def subword_ngrams_py(word: str, min_n: int = MIN_N,
+                      max_n: int = MAX_N) -> list[str]:
+    """FastText char n-gram occurrences of '<word>' (duplicates kept, as
+    gensim composes over occurrences).  Python twin of the Spark
+    expression in subword_mean_components."""
+    br = f"<{word}>"
+    return [br[i:i + n]
+            for n in range(min_n, max_n + 1)
+            for i in range(len(br) - n + 1)]
+
+
+def subword_vector(word: str, dim: int = EMB_DIM, scale: float = 0.1,
+                   min_n: int = MIN_N, max_n: int = MAX_N) -> list[float]:
+    """FastText-style OOV vector: mean of the md5-seeded n-gram vectors
+    (n-gram g's dimension j = the seeded_vector formula under the 'subw'
+    namespace).  The in-vocabulary path never calls this; it is J4's
+    fallback twin of gensim FastText's OOV composition
+    (fonctionsFaxtText.py:567-593: min_n=3, max_n=6).  Falls back to
+    seeded_vector for words too short to yield any n-gram (empty word)."""
+    grams = subword_ngrams_py(word, min_n, max_n)
+    if not grams:
+        return seeded_vector(word, dim, scale)
+    out = []
+    for j in range(dim):
+        acc = 0.0
+        for g in grams:
+            h = int(hashlib.md5(
+                f"subw:{g}:{j}".encode()).hexdigest()[:8], 16)
+            acc += (h / 4294967296.0 * 2.0 - 1.0) * scale
+        out.append(acc / len(grams))
+    return out
+
+
+def subword_mean_components(words: DataFrame, dim: int = EMB_DIM,
+                            min_n: int = MIN_N, max_n: int = MAX_N,
+                            scale: float = 0.1,
+                            word_col: str = "word") -> DataFrame:
+    """(word, j, mj, n_ngrams): dimension j of the FastText-style OOV
+    vector as pure JVM expressions — explode n-gram occurrences of
+    '<word>' (two native explodes, no interpreted HOF on the hot path),
+    md5-hash each (ngram, j) inline exactly like the dedup operators (no
+    vocabulary dim table, no broadcast), one keyed agg.
+
+    mj is rounded to 9 dp so distributed summation order cannot leak into
+    the 6-dp derivations downstream; the DuckDB oracle replays the md5
+    arithmetic bit-for-bit."""
+    br = words.select(
+        F.col(word_col).alias("word"),
+        F.concat(F.lit("<"), F.col(word_col), F.lit(">")).alias("br"),
+    )
+    occ = (
+        br.select(
+            "word", "br",
+            F.explode(F.expr(f"sequence({min_n}, {max_n})")).alias("n"))
+        .where(F.length("br") >= F.col("n"))
+        .select(
+            "word", "br", "n",
+            F.explode(F.expr("sequence(1, length(br) - n + 1)")).alias("i"))
+        .select("word", F.expr("substr(br, i, n)").alias("ngram"))
+    )
+    comp = (
+        "(cast(conv(substr(md5(concat('subw:', ngram, ':',"
+        " cast(j AS STRING))), 1, 8), 16, 10) AS DOUBLE)"
+        f" / 4294967296.0 * 2.0 - 1.0) * {scale}"
+    )
+    return (
+        occ.select("word", "ngram",
+                   F.explode(F.expr(f"sequence(0, {dim - 1})")).alias("j"))
+        .withColumn("comp", F.expr(comp))
+        .groupBy("word", "j")
+        .agg(F.round(F.avg("comp"), 9).alias("mj"),
+             F.count(F.lit(1)).alias("n_ngrams"))
+    )
+
+
 def load_gensim_vectors(spark: SparkSession, path: str,
                         binary: bool = False) -> DataFrame:
     """S4: gensim model -> (word, vector) dim table. Gated import."""
@@ -100,13 +178,22 @@ def train_word2vec(sentences: DataFrame, spark: SparkSession,
 
 def build_embedding_matrix(vocab: DataFrame, vectors: DataFrame | None,
                            spark: SparkSession,
-                           dim: int = EMB_DIM) -> DataFrame:
+                           dim: int = EMB_DIM,
+                           oov: str = "seeded") -> DataFrame:
     """J4/D11: (word, id, vector) — pretrained vector if present, seeded
     deterministic fallback otherwise; PAD (id 0) is the zero vector.
+
+    ``oov`` selects the fallback rule: 'seeded' = per-word seeded vector
+    (the reference's N(0, 0.1) init twin), 'subword' = FastText-style
+    composition (mean of md5-seeded char n-gram vectors, min_n=3/max_n=6
+    — the OOV behavior a gensim FastText model would give,
+    fonctionsFaxtText.py:131-173).
 
     The vectors side is broadcast (~10 MB at reference scale); the fallback
     runs vectorized in one pandas UDF over only the missing rows.
     """
+    if oov not in ("seeded", "subword"):
+        raise ValueError(f"unknown oov rule: {oov!r}")
     reserved = spark.createDataFrame(
         [("<PAD>", 0), ("<UNK>", 1), ("<NUM>", 2)], "word STRING, id INT"
     )
@@ -126,6 +213,8 @@ def build_embedding_matrix(vocab: DataFrame, vectors: DataFrame | None,
                 out.append(list(v))
             elif i == 0:
                 out.append([0.0] * dim)  # PAD = zeros (streamlit_utils.py:49)
+            elif oov == "subword":
+                out.append(subword_vector(w, dim))
             else:
                 out.append(seeded_vector(w, dim))
         return pd.Series(out)

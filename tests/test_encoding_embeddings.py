@@ -93,3 +93,93 @@ def test_train_word2vec_produces_dim_table(spark):
         vocab, vecs, spark, dim=16).collect()}
     assert m["p53"] == pytest.approx(rows["p53"], abs=1e-6)
     assert len(m["unseenword"]) == 16
+
+
+def test_subword_vector_matches_spark_composition(spark):
+    """FastText subword twin: the Spark (explode + inline md5 + keyed agg)
+    composition must equal the Python twin's mean-of-ngram-vectors for
+    every dimension, and the ngram universe must match gensim semantics
+    ('<word>' char 3..6-grams, duplicate occurrences kept)."""
+    import numpy as np
+
+    from biomedical_ner_spark.sources.embeddings import (
+        subword_mean_components,
+        subword_ngrams_py,
+        subword_vector,
+    )
+
+    assert subword_ngrams_py("x") == ["<x>"]
+    grams = subword_ngrams_py("gene")
+    assert "<ge" in grams and "gene" in grams and "<gene>" in grams
+    assert len(grams) == len("<gene>") * 4 - (3 + 4 + 5 + 6) + 4
+    # duplicates kept: 'aaaa' -> 'aaa' twice among the 3-grams of '<aaaa>'
+    assert subword_ngrams_py("aaaa").count("aaa") == 2
+
+    words = ["gene", "il-2", "x", "aaaa", "transcription"]
+    df = spark.createDataFrame([(w,) for w in words], "word STRING")
+    out = subword_mean_components(df, dim=12).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.word, [0.0] * 12)[r.j] = r.mj
+        assert r.n_ngrams == len(subword_ngrams_py(r.word))
+    for w in words:
+        assert np.allclose(got[w], subword_vector(w, dim=12), atol=1e-8), w
+
+
+def test_build_embedding_matrix_subword_oov(spark):
+    """J4 fallback path with oov='subword': missing words compose from
+    char n-grams; PAD stays zero; pretrained vectors still win."""
+    import pytest as _pytest
+
+    from biomedical_ner_spark.sources.embeddings import subword_vector
+
+    vocab = spark.createDataFrame(
+        [("p53", 3), ("novelgene", 4)], "word STRING, id INT")
+    vecs = spark.createDataFrame(
+        [("p53", [1.0] * 8)], "word STRING, vector ARRAY<FLOAT>")
+    m = {r.word: list(r.vector) for r in build_embedding_matrix(
+        vocab, vecs, spark, dim=8, oov="subword").collect()}
+    assert m["<PAD>"] == [0.0] * 8
+    assert m["p53"] == [1.0] * 8
+    assert m["novelgene"] == _pytest.approx(
+        subword_vector("novelgene", dim=8), abs=1e-6)
+    with _pytest.raises(ValueError):
+        build_embedding_matrix(vocab, vecs, spark, dim=8, oov="bogus")
+
+
+def test_encode_corpus_closure_and_join_paths_agree(spark):
+    """F-gate: the dict-closure Arrow path and the dim-frame join path
+    must emit identical rows (word ids with NUM/UNK rules, ordered 20-char
+    char ids); encode_corpus routes by vocab size."""
+    from biomedical_ner_spark.operators.encode import (
+        encode_corpus,
+        encode_corpus_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "IL-2 gene 123 activates xyz"),
+         (2, "p53 p53 , binds ; supercalifragilisticexpialidocious42")],
+        "doc_id BIGINT, text STRING")
+    wv = spark.createDataFrame(
+        [("il-2", 3), ("gene", 4), ("p53", 5), ("binds", 6)],
+        "word STRING, id INT")
+    cv = spark.createDataFrame(
+        [(c, i + 2) for i, c in enumerate("abcdegilnp25-")],
+        "ch STRING, id INT")
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.pos, r.token, r.word_id, tuple(r.char_ids))
+            for r in df.collect())
+
+    closure = rows(encode_corpus(docs, wv, cv))           # under gate
+    join = rows(encode_corpus_join(docs, wv, cv))
+    forced_join = rows(encode_corpus(docs, wv, cv, closure_max=0))
+    assert closure == join == forced_join
+    by_tok = {(d, p): (t, w, c) for d, p, t, w, c in closure}
+    assert by_tok[(1, 2)][1] == 2       # '123' -> <NUM>
+    assert by_tok[(1, 3)][1] == 1       # 'xyz' OOV -> <UNK>
+    assert by_tok[(1, 0)][1] == 3       # 'IL-2' lowercased hit
+    tok, wid, cids = by_tok[(2, 5)]
+    assert len(cids) == 20              # 20-char truncation
+    assert wid == 1
