@@ -32,9 +32,22 @@ from biomedical_ner_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
 
 
-def timed(fn, trials: int = 1):
+def _burn() -> float:
+    """Fixed CPU burn (30M int mults — same work as scaling_bench's
+    calibration): the sandbox host's clock drifts >2x between minutes, so
+    every BENCH artifact carries its own before/after calibration and
+    cross-run wall comparisons divide by it."""
+    t0 = time.time()
+    x = 0
+    for i in range(30_000_000):
+        x += i * i
+    return time.time() - t0
+
+
+def timed(fn, trials: int = TRIALS):
     """Best-of-N wall (the sandbox host's clock speed drifts >2x between
     minutes; min over trials is the least-noisy point estimate)."""
     best, n = None, None
@@ -49,6 +62,7 @@ def timed(fn, trials: int = 1):
 def main() -> None:
     # >= 4 partitions/core: undersized partition counts measured severe
     # cache/GC contention at high thread counts (scripts/scale_probe.py)
+    burn_before = _burn()
     spark = get_spark(
         app_name="bioner-bench",
         master=f"local[{CPUS}]",
@@ -113,6 +127,12 @@ def main() -> None:
         "total_sec": round(total, 3),
         "sf": SF_DIR,
         "cpus": CPUS,
+        "trials_best_of": TRIALS,
+        # host-speed calibration bracketing the run: this host's reference
+        # for the same burn is ~1.6 s at full speed and >6 s when throttled
+        # (BASELINE.md); divide walls by (burn/1.6) to compare across runs
+        "burn_1proc_sec_before": round(burn_before, 2),
+        "burn_1proc_sec_after": round(_burn(), 2),
     }
     print(json.dumps(out))
     spark.stop()

@@ -412,6 +412,29 @@ def q_embedding_matrix(spark, sf_dir):
     )
 
 
+def q_vocab_sink(spark, sf_dir):
+    """S8 round-trip (the reference pickles 4 dicts, JNLPBA.ipynb cc[10]):
+    persist the word/char/tag dim tables as parquet via
+    write_vocab_tables, read them back, and value-check the union of the
+    three dims against the oracle computing them directly."""
+    from .sources.embeddings import write_vocab_tables
+
+    tags = _tags(spark, sf_dir)
+    path = _scratch("vocab_sink", sf_dir)
+    write_vocab_tables(stats.vocab_build(tags), stats.char_inventory(tags),
+                       stats.tag_map(tags), path)
+    v = spark.read.parquet(f"{path}/vocab").select(
+        F.lit("vocab").alias("dim"), F.col("word").alias("key"),
+        F.col("id").cast("bigint").alias("id"))
+    c = spark.read.parquet(f"{path}/char_vocab").select(
+        F.lit("char").alias("dim"), F.col("ch").alias("key"),
+        F.col("id").cast("bigint").alias("id"))
+    t = spark.read.parquet(f"{path}/tag_map").select(
+        F.lit("tag").alias("dim"), F.col("tag").alias("key"),
+        F.col("id").cast("bigint").alias("id"))
+    return v.unionByName(c).unionByName(t)
+
+
 SUBW_DIM = 8  # query-sized dimension; the operator defaults to EMB_DIM
 
 
@@ -1572,6 +1595,19 @@ FROM vecs
 """
 
 
+def _sql_vocab_sink() -> str:
+    return f"""
+SELECT 'vocab' AS dim, word AS "key", CAST(id AS BIGINT) AS id
+FROM ({_VOCAB_CTE})
+UNION ALL
+SELECT 'char' AS dim, ch AS "key", CAST(id AS BIGINT) AS id
+FROM ({_sql_char_inventory()})
+UNION ALL
+SELECT 'tag' AS dim, tag AS "key", CAST(id AS BIGINT) AS id
+FROM ({_sql_tag_map()})
+"""
+
+
 def _sql_subword_vectors() -> str:
     comp = (
         "(('0x' || substr(md5('subw:' || ngram || ':' || j), 1, 8))::UBIGINT"
@@ -2076,11 +2112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_tokens": q_encoded_tokens,
         "lang_id": q_lang_id,
         "export_json": q_export_json,
+        "vocab_sink": q_vocab_sink,
         "event_windows": q_event_windows,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "corpus_curation": q_corpus_curation,
-        "tokenize_counts": q_tokenize_counts,
         "bio_tags": q_bio_tags,
         "bio_spans": q_bio_spans,
         "entity_type_counts": q_entity_type_counts,
@@ -2116,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical": q_kg_canonical,
         "canonical_surfaces": q_canonical_surfaces,
         # tail: green in both r1 and r2 driver runs
+        "tokenize_counts": q_tokenize_counts,
         "distinct_types": q_distinct_types,
         "entity_names": q_entity_names,
         "corpus_union": q_corpus_union,
@@ -2127,6 +2164,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _sql_embedding_near_dups(),
         "media_features": _sql_media_features(),
         "subword_vectors": _sql_subword_vectors(),
+        "vocab_sink": _sql_vocab_sink(),
         "tokenize_counts": _sql_tokenize_counts(),
         "bio_tags": _sql_bio_tags(),
         "bio_spans": _sql_bio_spans(),
