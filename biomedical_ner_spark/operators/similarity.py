@@ -188,15 +188,24 @@ def lsh_candidates(embeddings: DataFrame, n_planes: int = 8,
                    n_tables: int = 4, seed: int = 42,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
-    """Distinct unordered candidate pairs (a < b) sharing >=1 LSH bucket."""
+    """Distinct unordered candidate pairs (a < b) sharing >=1 LSH bucket.
+
+    One groupBy + in-bucket combination expand (not a self-join, which
+    evaluates the bucket lineage twice — see dedup.lsh_candidate_pairs)."""
     buckets = hyperplane_buckets(
         embeddings, n_planes, n_tables, seed, id_col, vec_col)
-    a = buckets.select("table", "bucket", F.col("id").alias("a"))
-    b = buckets.select("table", "bucket", F.col("id").alias("b"))
+    grouped = (
+        buckets.groupBy("table", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        a.join(b, ["table", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grouped.select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) ->"
+            " transform(slice(ids, i + 2, size(ids) - i - 1),"
+            " y -> struct(x AS a, y AS b))))"
+        )).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
