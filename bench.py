@@ -8,9 +8,12 @@ triples; the north-rule throughput path) plus the flagship aggregates and
 the scale-path dedup/similarity operators.
 
 The primary metric is triples/sec (BASELINE.json), reported alongside
-per-query wall seconds.  Input is repartitioned once to 2x cores to emulate
-the many-file splits a real 100 TB table provides (the driver testdata is a
-single parquet file, which would otherwise serialize the scan).
+per-query wall seconds.  The driver testdata is ONE parquet file with ONE
+row group per table — an unsplittable scan, so every query's first stage
+(scan + map-side partial agg, where dedup does all its hashing) would run
+on a single task.  A real 100 TB table is thousands of files/row groups
+and scans wide, so the bench materializes the input once (untimed) as a
+many-file copy in /dev/shm and times the queries against that layout.
 """
 
 from __future__ import annotations
@@ -59,6 +62,33 @@ def timed(fn, trials: int = TRIALS):
     return best, n
 
 
+def _prep_input(spark) -> str:
+    """Untimed: copy each table to a many-file layout (2x cores) so scans
+    parallelize the way a multi-file production table would."""
+    import shutil
+
+    dst = "/dev/shm/bns_bench_sf" if os.access("/dev/shm", os.W_OK) \
+        else "/tmp/bns_bench_sf"
+    shutil.rmtree(dst, ignore_errors=True)
+    # per-table split counts: documents carry CPU-heavy per-row expression
+    # work (wide scans win); embeddings feed Arrow/numpy batch stages where
+    # a ~50 ms-per-task setup makes tiny files read as serial overhead —
+    # batches want >= ~250 vectors each (the production table is huge, so
+    # its natural files are full-sized batches anyway)
+    n_rows = {"documents": None, "events": None, "embeddings": None}
+    for t in n_rows:
+        src = f"{SF_DIR}/{t}.parquet"
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        wide = max(2 * CPUS, 32)
+        files = wide if t != "embeddings" else max(
+            1, min(wide, df.count() // 250))
+        (df.repartition(files)
+         .write.mode("overwrite").parquet(f"{dst}/{t}.parquet"))
+    return dst
+
+
 def main() -> None:
     # >= 4 partitions/core: undersized partition counts measured severe
     # cache/GC contention at high thread counts (scripts/scale_probe.py)
@@ -70,8 +100,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    bench_sf = _prep_input(spark)
     docs = (
-        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        spark.read.parquet(f"{bench_sf}/documents.parquet")
         .repartition(max(4 * CPUS, 32))
         .persist()
     )
@@ -108,7 +139,7 @@ def main() -> None:
         "lsh_topk", "ivf_topk", "event_windows", "corpus_curation",
     ):
         fn = Q.queries()[name]
-        t, n = timed(lambda f=fn: f(spark, SF_DIR).count(), trials=2)
+        t, n = timed(lambda f=fn: f(spark, bench_sf).count(), trials=2)
         timings[name], counts[name] = t, n
 
     total = sum(timings.values())
@@ -128,6 +159,7 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         "trials_best_of": TRIALS,
+        "input_layout": f"{max(2 * CPUS, 32)}-file copy (scan-parallel)",
         # host-speed calibration bracketing the run: this host's reference
         # for the same burn is ~1.6 s at full speed and >6 s when throttled
         # (BASELINE.md); divide walls by (burn/1.6) to compare across runs
