@@ -171,3 +171,47 @@ def test_pipeline_resume_overwrites_partial_bucket_writes(
         assert a.count() == b.count(), table
         assert a.select(cols).exceptAll(b.select(cols)).count() == 0, table
         assert b.select(cols).exceptAll(a.select(cols)).count() == 0, table
+
+
+def test_py_files_packaging_and_spark_submit(tmp_path):
+    """North-star packaging: build the --py-files zip, then run the real
+    `spark-submit --py-files <zip> scripts/kg_job.py` in a clean cwd (no
+    repo checkout on sys.path) and require the manifest summary line."""
+    import json
+    import subprocess
+    import sys
+    import zipfile
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from package_pyfiles import build
+
+    zp = str(tmp_path / "bns.zip")
+    build(zp)
+    names = zipfile.ZipFile(zp).namelist()
+    assert "biomedical_ner_spark/__init__.py" in names
+    assert "biomedical_ner_spark/plans/kg_pipeline.py" in names
+    assert not any(n.endswith(".pyc") for n in names)
+
+    # import the package from the zip alone (what executors do)
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, sys.argv[1]);"
+         "from biomedical_ner_spark.core.oracle import tokenize_text;"
+         "print(tokenize_text('IL-2 gene!'))", zp],
+        capture_output=True, text=True, timeout=60, cwd=str(tmp_path))
+    assert probe.returncode == 0, probe.stderr
+    assert "['IL-2', 'gene', '!']" in probe.stdout
+
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zp, "/root/repo/scripts/kg_job.py",
+         "--input", "synth:60", "--output", str(tmp_path / "kg_out"),
+         "--buckets", "2"],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path))
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if '"kg_job": "ok"' in l]
+    assert line, out.stdout[-2000:]
+    summary = json.loads(line[0])
+    assert summary["kg_job"] == "ok" and len(summary) > 1, summary
