@@ -55,20 +55,70 @@ def _canonical_edges(df: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+# below this many distinct edges the alias graph is collected and solved
+# with driver union-find: the graph is ONTOLOGY-bounded (distinct CUIs),
+# not corpus-bounded, so even web corpora usually stay under it — and each
+# distributed star round costs two shuffles + a checkpoint + an action of
+# fixed overhead, which dominates end-to-end wall on small graphs
+# (measured: 6.4 s of CC rounds for an 11-component graph).
+CC_DRIVER_MAX_EDGES = 500_000
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Exact same (node, component=min-id) semantics as the star loop,
+    solved on the driver for edge sets under CC_DRIVER_MAX_EDGES."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = e.collect()
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    spark = e.sparkSession
+    if not out:
+        return spark.createDataFrame([], "node STRING, component STRING")
+    return spark.createDataFrame(out, ["node", "component"])
+
+
 def connected_components(
     edges: DataFrame,
     spark: SparkSession,
     checkpoint_dir: str | None = None,
     max_iter: int = 25,
+    driver_max_edges: int | None = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(node, component) where component = min node id in the component.
 
-    Alternating large-star/small-star over string node ids.  Each round is
-    two join+min-agg passes; lineage is truncated every round via parquet
+    Size-gated: edge sets under ``driver_max_edges`` are solved with
+    driver union-find (identical min-label output, no per-round job
+    overhead); larger graphs run the alternating large-star/small-star
+    loop over string node ids.  Each distributed round is two
+    join+min-agg passes; lineage is truncated every round via parquet
     checkpoint (resumable) or localCheckpoint.  Converges in O(log^2 n)
     rounds; a round cap guards skewed alias graphs (SURVEY.md §7 risks).
+    Pass driver_max_edges=0/None to force the distributed loop.
     """
     e = _canonical_edges(edges, "src", "dst")
+    if driver_max_edges:
+        # capped count: one job; decides the gate without scanning past
+        # the threshold
+        n = e.limit(driver_max_edges + 1).count()
+        if n <= driver_max_edges:
+            return _driver_union_find(e)
 
     def _large_star(ed: DataFrame) -> DataFrame:
         # for each node, connect every strictly-larger neighbor to the

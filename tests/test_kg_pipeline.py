@@ -117,12 +117,15 @@ def test_connected_components_vs_union_find(spark):
     want_label = {n: min(members) for members in want.values() for n in members}
 
     edf = spark.createDataFrame(sorted(edges), "src STRING, dst STRING")
-    comp = connected_components(edf, spark)
-    got = {r.node: r.component for r in comp.collect()}
     touched = {n for e in edges for n in e}
-    assert set(got) == touched
-    for n in touched:
-        assert got[n] == want_label[n], n
+    # both physical forms must match the oracle: the size-gated driver
+    # union-find (default for small graphs) AND the distributed star loop
+    for kw in ({}, {"driver_max_edges": 0}):
+        comp = connected_components(edf, spark, **kw)
+        got = {r.node: r.component for r in comp.collect()}
+        assert set(got) == touched, kw
+        for n in touched:
+            assert got[n] == want_label[n], (n, kw)
 
 
 def test_pipeline_resume_overwrites_partial_bucket_writes(
