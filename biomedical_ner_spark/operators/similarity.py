@@ -210,10 +210,73 @@ def lsh_candidates(embeddings: DataFrame, n_planes: int = 8,
     )
 
 
+def train_kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                           n_iter: int = 5,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding"
+                           ) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd) coarse quantizer for IVF: deterministic
+    init from the first n_centroids vectors (the sampled-centroid seed
+    _centroid_ranks uses), then n_iter rounds of
+    assign-by-cosine (one numpy matmul per Arrow batch, centroids in the
+    closure — k x dim bounded) -> per-centroid mean (posexplode +
+    groupBy(cid, dim) avg, one keyed shuffle) -> renormalize.  Returns the
+    collected (cid, vector) list — the same bounded artifact the sampled
+    path collects, so it drops into ivf_assignments/ivf_topk unchanged.
+
+    Empty clusters keep their previous centroid (standard Lloyd fallback),
+    so cid set and count are stable across iterations."""
+    rows = (
+        embeddings.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    if not rows:
+        return []
+    cents = {int(r["cid"]): np.asarray(list(r["cv"]), dtype=np.float64)
+             for r in rows}
+    base = embeddings.select(F.col(vec_col).alias("v"))
+    for _ in range(n_iter):
+        c_ids = np.array(sorted(cents), dtype=np.int64)
+        C = np.vstack([cents[int(i)] for i in c_ids])
+        cn = np.sqrt((C * C).sum(axis=1)) + EPS
+
+        def assign(batches: Iterator[pd.DataFrame],
+                   _C=C, _cn=cn, _ids=c_ids) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = _to_matrix(pdf["v"])
+                vn = np.sqrt((V * V).sum(axis=1)) + EPS
+                S = (V @ _C.T) / np.outer(vn, _cn)
+                best = _ids[np.argmax(S, axis=1)]
+                yield pd.DataFrame({"cid": best, "v": pdf["v"].to_numpy()})
+
+        assigned = base.mapInPandas(
+            assign, schema=f"cid bigint, v array<float>")
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("j", "x"))
+            .groupBy("cid", "j").agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.sort_array(F.collect_list(F.struct("j", "m"))).alias("e"))
+            .select("cid", F.expr("transform(e, s -> s.m)").alias("mv"))
+            .collect()
+        )
+        for r in means:
+            m = np.asarray(list(r["mv"]), dtype=np.float64)
+            n = np.sqrt((m * m).sum())
+            if n > EPS:
+                cents[int(r["cid"])] = m / n
+    return [(int(i), [float(x) for x in cents[int(i)]])
+            for i in sorted(cents)]
+
+
 def _centroid_ranks(embeddings: DataFrame, n_centroids: int, top_n: int,
                     id_col: str, vec_col: str,
                     out_col: str = "cid",
-                    centroid_src: DataFrame | None = None) -> DataFrame:
+                    centroid_src: DataFrame | None = None,
+                    centroids: "list[tuple[int, list[float]]] | None" = None
+                    ) -> DataFrame:
     """(id, cid) rows: each vector's top_n nearest centroids by rounded
     cosine (centroid-id tie-break), one numpy matmul per Arrow batch.
     Centroids are the first n_centroids vectors of ``centroid_src``
@@ -221,13 +284,17 @@ def _centroid_ranks(embeddings: DataFrame, n_centroids: int, top_n: int,
     the kmeans++-seed shape; a trained kmeans model drops in as the same
     collected (cid, vector) list.  Callers ranking a FILTERED frame must
     pass the full corpus as centroid_src so assignment and probing see
-    identical centroids."""
-    c_rows = (
-        (centroid_src if centroid_src is not None else embeddings)
-        .where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .collect()
-    )
+    identical centroids.  An explicit ``centroids`` list (e.g. from
+    train_kmeans_centroids) takes precedence over both."""
+    if centroids is not None:
+        c_rows = [{"cid": c, "cv": v} for c, v in centroids]
+    else:
+        c_rows = (
+            (centroid_src if centroid_src is not None else embeddings)
+            .where(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .collect()
+        )
     base = embeddings.select(F.col(id_col).alias("id"),
                              F.col(vec_col).alias("v"))
     if not c_rows:  # empty centroid set: no assignments, not an AxisError
@@ -260,21 +327,32 @@ def _centroid_ranks(embeddings: DataFrame, n_centroids: int, top_n: int,
 
 def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    centroids: "list | None" = None) -> DataFrame:
     """(id, cid): inverted-file coarse quantization — each vector joins
-    the list of its single nearest centroid."""
-    return _centroid_ranks(embeddings, n_centroids, 1, id_col, vec_col)
+    the list of its single nearest centroid (sampled by default; pass a
+    train_kmeans_centroids list for the trained quantizer)."""
+    return _centroid_ranks(embeddings, n_centroids, 1, id_col, vec_col,
+                           centroids=centroids)
 
 
 def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 100,
              n_centroids: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             train_iters: int = 0) -> DataFrame:
     """IVF approximate top-k: queries probe their n_probe nearest inverted
     lists and score only those lists' members — the classic coarse-
     quantizer ANN shape (candidates ~ n_probe/n_centroids of the corpus).
     Fully deterministic, so the DuckDB oracle replays assignment, probing,
-    and ranking exactly."""
-    assign = ivf_assignments(embeddings, n_centroids, id_col, vec_col)
+    and ranking exactly (train_iters=0, the oracle configuration).
+    train_iters > 0 refines the quantizer with spherical k-means
+    (train_kmeans_centroids) — deterministic too, but the oracle replays
+    only the sampled config."""
+    cents = (train_kmeans_centroids(
+        embeddings, n_centroids, train_iters, id_col, vec_col)
+        if train_iters > 0 else None)
+    assign = ivf_assignments(embeddings, n_centroids, id_col, vec_col,
+                             centroids=cents)
     vecs = embeddings.select(F.col(id_col).alias("id"),
                              F.col(vec_col).alias("v"))
     qv = vecs.where(F.col("id") < n_queries).select(
@@ -282,7 +360,7 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 100,
     probes = _centroid_ranks(
         embeddings.where(F.col(id_col) < n_queries),
         n_centroids, n_probe, id_col, vec_col,
-        centroid_src=embeddings,
+        centroid_src=embeddings, centroids=cents,
     ).withColumnRenamed("id", "q")
     cand = (
         probes.join(assign.select(F.col("id").alias("c"), "cid"), "cid")

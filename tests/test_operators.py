@@ -387,3 +387,43 @@ def test_split_rank_property_vs_local_sort(spark):
         shuf = {r.doc_id: r.split
                 for r in splits.seeded_shuffle_split(df).collect()}
         assert shuf == expect(sorted(ids, key=key))
+
+
+def test_trained_kmeans_ivf_deterministic_and_no_worse_recall(spark):
+    """Spherical k-means quantizer (train_kmeans_centroids): deterministic
+    across runs, normalized centroids, and on clustered data the trained
+    IVF must keep recall >= the sampled quantizer's."""
+    import numpy as np
+
+    from biomedical_ner_spark.operators import similarity
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((8, 24))
+    rows = []
+    vid = 0
+    for rep in range(20):
+        for ci in range(8):
+            v = centers[ci] + 0.08 * rng.standard_normal(24)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    c1 = similarity.train_kmeans_centroids(df, n_centroids=8, n_iter=3)
+    c2 = similarity.train_kmeans_centroids(df, n_centroids=8, n_iter=3)
+    assert [c for c, _ in c1] == list(range(8))
+    for (i1, v1), (i2, v2) in zip(c1, c2):
+        assert i1 == i2
+        assert np.allclose(v1, v2, atol=1e-12)  # deterministic
+        assert abs(np.linalg.norm(v1) - 1.0) < 1e-6  # spherical
+
+    brute = {(r.q, r.c)
+             for r in similarity.brute_topk(df, k=3, n_queries=24).collect()}
+    sampled = {(r.q, r.c) for r in similarity.ivf_topk(
+        df, k=3, n_queries=24, n_centroids=8, n_probe=2).collect()}
+    trained = {(r.q, r.c) for r in similarity.ivf_topk(
+        df, k=3, n_queries=24, n_centroids=8, n_probe=2,
+        train_iters=3).collect()}
+    r_sampled = len(brute & sampled) / len(brute)
+    r_trained = len(brute & trained) / len(brute)
+    assert r_trained >= r_sampled - 1e-9, (r_trained, r_sampled)
+    assert r_trained >= 0.9, r_trained
