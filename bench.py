@@ -132,11 +132,15 @@ def main() -> None:
     timings["triples"], counts["triples"] = t, n
 
     # round-1-comparable set first, then the round-2 additions (lsh/ivf
-    # ANN paths, event-time windows, composed corpus curation)
+    # ANN paths, event-time windows, composed curation), then round-3
+    # (exact dedup, inverted-index jaccard, LSH-blocked embedding
+    # near-dups, subword composition, Arrow encode stage)
     for name in (
         "entity_type_counts", "corpus_stats", "vocab_build",
         "minhash_lsh_pairs", "simhash", "ann_topk", "quality_score",
         "lsh_topk", "ivf_topk", "event_windows", "corpus_curation",
+        "dedup_exact", "ngram_jaccard", "embedding_near_dups",
+        "subword_vectors", "encoded_tokens",
     ):
         fn = Q.queries()[name]
         t, n = timed(lambda f=fn: f(spark, bench_sf).count(), trials=2)

@@ -427,3 +427,20 @@ def test_trained_kmeans_ivf_deterministic_and_no_worse_recall(spark):
     r_trained = len(brute & trained) / len(brute)
     assert r_trained >= r_sampled - 1e-9, (r_trained, r_sampled)
     assert r_trained >= 0.9, r_trained
+
+
+def test_lsh_max_bucket_cap_drops_degenerate_buckets(spark):
+    """A bucket of k near-identical docs emits k(k-1)/2 pairs; max_bucket
+    must shed such buckets without touching normal ones."""
+    rows = [(i, "identical text repeated many times for every doc here ok")
+            for i in range(30)]
+    rows += [(100, "some other distinct content entirely about spark"),
+             (101, "some other distinct content entirely about spark")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    full = {(r.a, r.b)
+            for r in dedup.lsh_candidate_pairs(df).collect()}
+    assert (100, 101) in full
+    assert len(full) == 30 * 29 // 2 + 1
+    capped = {(r.a, r.b)
+              for r in dedup.lsh_candidate_pairs(df, max_bucket=5).collect()}
+    assert capped == {(100, 101)}
