@@ -126,7 +126,8 @@ def link_mentions(mentions_df: DataFrame, spark: SparkSession,
         idf_d = b_idf.value
         vecs = b_vecs.value
         out = np.zeros(len(surface), dtype=np.float64)
-        for i, (s, a, at, mt, w) in enumerate(
+        sv_cache: dict = {}  # surfaces repeat per candidate fanout: one
+        for i, (s, a, at, mt, w) in enumerate(  # seeded vec per surface
             zip(surface, alias, alias_type, mention_type, weight)
         ):
             if a is None or w is None:
@@ -134,7 +135,9 @@ def link_mentions(mentions_df: DataFrame, spark: SparkSession,
                 continue
             tf = _tfidf_cosine(s, a, idf_d)
             av = vecs.get(a)
-            sv = _seeded_vec(s)
+            sv = sv_cache.get(s)
+            if sv is None:
+                sv = sv_cache[s] = _seeded_vec(s)
             emb = float(sv @ av) if av is not None else 0.0
             type_bonus = 0.1 if at == mt else 0.0
             out[i] = 0.6 * tf + 0.3 * emb + 0.1 * float(w) + type_bonus
