@@ -444,3 +444,59 @@ def test_lsh_max_bucket_cap_drops_degenerate_buckets(spark):
     capped = {(r.a, r.b)
               for r in dedup.lsh_candidate_pairs(df, max_bucket=5).collect()}
     assert capped == {(100, 101)}
+
+
+def test_vocab_build_rank_property_random_corpora(spark):
+    """Property: vocab_build's bucket-offset dense ids must equal the
+    naive (freq desc, word asc) rank + 2 on random corpora with heavy
+    ties (the bucket function must be monotone in the order key)."""
+    import random
+
+    from biomedical_ner_spark.operators import stats
+
+    rng = random.Random(13)
+    alphabet = ["gene", "il-2", "p53", "abc", "abd", "zz", "a", "0x1",
+                "Alpha", "ALPHA", "beta-2", "_und", "9", "aa", "ab"]
+    for trial in range(3):
+        toks = [rng.choice(alphabet) for _ in range(rng.randint(30, 120))]
+        df = spark.createDataFrame([(t,) for t in toks], "token STRING")
+        got = {r.word: r.id for r in stats.vocab_build(df).collect()}
+        from collections import Counter
+
+        cnt = Counter(t.lower() for t in toks)
+        want_rows = sorted(
+            ((w, c) for w, c in cnt.items() if c >= 2),
+            key=lambda wc: (-wc[1], wc[0]))
+        want = {w: i + 3 for i, (w, _) in enumerate(want_rows)}
+        assert got == want, (trial, got, want)
+
+
+def test_encode_paths_agree_on_random_ascii_docs(spark):
+    """Property: closure and join encode paths are identical on random
+    ASCII corpora (tokens hitting NUM/UNK/vocab and char-UNK rules)."""
+    import random
+
+    from biomedical_ner_spark.operators.encode import (
+        encode_corpus,
+        encode_corpus_join,
+    )
+
+    rng = random.Random(31)
+    words = ["il-2", "gene", "p53", "123", "007", "xyz!", "a" * 25,
+             "Mixed-Case", "semi;colon", "dot."]
+    docs = [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.randint(0, 30))))
+            for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    wv = spark.createDataFrame(
+        [("il-2", 3), ("gene", 4), ("mixed-case", 5)], "word STRING, id INT")
+    cv = spark.createDataFrame(
+        [(c, i + 2) for i, c in enumerate("abcdegilmnpxyz-.123")],
+        "ch STRING, id INT")
+
+    def rows(d):
+        return sorted((r.doc_id, r.pos, r.token, r.word_id,
+                       tuple(r.char_ids)) for r in d.collect())
+
+    assert rows(encode_corpus(df, wv, cv)) == rows(
+        encode_corpus_join(df, wv, cv))
