@@ -456,7 +456,11 @@ def test_vocab_build_rank_property_random_corpora(spark):
 
     rng = random.Random(13)
     alphabet = ["gene", "il-2", "p53", "abc", "abd", "zz", "a", "0x1",
-                "Alpha", "ALPHA", "beta-2", "_und", "9", "aa", "ab"]
+                "Alpha", "ALPHA", "beta-2", "_und", "9", "aa", "ab",
+                # non-ASCII: proves Spark's string ordering and Python's
+                # agree through the bucket function (code-point order via
+                # UTF-8 byte order), incl. a surrogate-pair char
+                "β-gene", "émile", "ß", "中文", "ärm", "β", "𝛃x", "ﬁle"]
     for trial in range(3):
         toks = [rng.choice(alphabet) for _ in range(rng.randint(30, 120))]
         df = spark.createDataFrame([(t,) for t in toks], "token STRING")
