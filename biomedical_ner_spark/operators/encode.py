@@ -14,6 +14,11 @@ Two physical forms behind one size-gated entry point (encode_corpus):
   closure, so an unbounded web-corpus vocabulary just becomes an ordinary
   keyed join that AQE broadcasts or shuffles on size.  Digit detection is
   the ASCII rule (same documented ASCII equivalence as the JVM span path).
+
+Measured at sf0.1/local[32] (warm best-of-2): closure 1.42 s, join
+1.72 s — the closure wins while the dicts are small, which is why it is
+the default below the gate; the join's ~20% premium buys unbounded
+vocabulary capacity.
 """
 
 from __future__ import annotations
