@@ -133,3 +133,31 @@ def seeded_shuffle_split(docs: DataFrame, seed: int = 42, train: float = 0.7,
 
 def split_counts(split_df: DataFrame) -> DataFrame:
     return split_df.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def stratified_sample(docs: DataFrame, fractions: dict[str, float],
+                      seed: int = 42,
+                      stratum_col: str = "lang") -> DataFrame:
+    """Deterministic per-stratum sampling for training-data curation:
+    keep a row iff md5(doc_id:seed) scaled to [0, 1) falls under its
+    stratum's fraction.  Unlike ``sampleBy``/``rand(seed)`` (per-partition
+    state, nondeterministic under task retries — SURVEY.md §4.3.4), the
+    keep decision is a pure row function, so retries, resumes, and
+    engine replays (the DuckDB oracle) agree row-for-row.  Strata absent
+    from ``fractions`` are dropped (fraction 0).  One narrow filter, no
+    shuffle; the fractions dim is a plan literal (bounded by stratum
+    count)."""
+    key = (
+        F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                              F.lit(str(seed)))), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0)
+    )
+    frac = None
+    for s, f in sorted(fractions.items()):
+        cond = F.when(F.col(stratum_col) == s, F.lit(float(f)))
+        frac = cond if frac is None else frac.when(
+            F.col(stratum_col) == s, F.lit(float(f)))
+    frac = (frac.otherwise(F.lit(0.0)) if frac is not None
+            else F.lit(0.0))
+    return docs.where(key < frac)

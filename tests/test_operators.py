@@ -504,3 +504,24 @@ def test_encode_paths_agree_on_random_ascii_docs(spark):
 
     assert rows(encode_corpus(df, wv, cv)) == rows(
         encode_corpus_join(df, wv, cv))
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from biomedical_ner_spark.operators import splits
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fr = {"en": 0.5, "de": 1.0, "zh": 0.0}
+    a = {r.doc_id for r in splits.stratified_sample(docs, fr).collect()}
+    b = {r.doc_id for r in splits.stratified_sample(docs, fr).collect()}
+    assert a == b  # pure row function: identical under replay
+    by_lang = {r.lang: r.n for r in splits.stratified_sample(docs, fr)
+               .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "zh" not in by_lang and "es" not in by_lang
+    assert by_lang["de"] == totals["de"]  # fraction 1.0 keeps all
+    assert 0.3 < by_lang["en"] / totals["en"] < 0.7  # ~0.5
+    # different seed -> different membership (same sizes statistically)
+    c = {r.doc_id
+         for r in splits.stratified_sample(docs, fr, seed=7).collect()}
+    assert c != a
