@@ -39,10 +39,11 @@ TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
 
 
 def _burn() -> float:
-    """Fixed CPU burn (30M int mults — same work as scaling_bench's
-    calibration): the sandbox host's clock drifts >2x between minutes, so
-    every BENCH artifact carries its own before/after calibration and
-    cross-run wall comparisons divide by it."""
+    """Fixed CPU burn (30M int mults) — THE canonical calibration loop;
+    scripts/scaling_bench.py imports it so BENCH and BENCH_SCALING
+    artifacts divide by identical reference work.  The sandbox host's
+    clock drifts >2x between minutes, so every BENCH artifact carries its
+    own before/after calibration."""
     t0 = time.time()
     x = 0
     for i in range(30_000_000):
@@ -75,8 +76,7 @@ def _prep_input(spark) -> str:
     # a ~50 ms-per-task setup makes tiny files read as serial overhead —
     # batches want >= ~250 vectors each (the production table is huge, so
     # its natural files are full-sized batches anyway)
-    n_rows = {"documents": None, "events": None, "embeddings": None}
-    for t in n_rows:
+    for t in ("documents", "events", "embeddings"):
         src = f"{SF_DIR}/{t}.parquet"
         if not os.path.exists(src):
             continue
@@ -114,7 +114,7 @@ def main() -> None:
     # warm the JVM/codegen once so steady-state throughput is measured
     spans.mentions(docs.limit(200)).count()
 
-    t, n = timed(lambda: spans.mentions(docs).count(), trials=2)
+    t, n = timed(lambda: spans.mentions(docs).count())
     timings["mentions"], counts["mentions"] = t, n
 
     t, n = timed(lambda: spans.extract_mentions_arrow(
@@ -124,11 +124,11 @@ def main() -> None:
     mentions_df = spans.mentions(docs).persist()
     mentions_df.count()
 
-    t, n = timed(lambda: link_mentions(mentions_df, spark).count(), trials=2)
+    t, n = timed(lambda: link_mentions(mentions_df, spark).count())
     timings["link"], counts["link"] = t, n
 
     toks = spans.doc_tokens(docs).select("doc_id", "tokens")
-    t, n = timed(lambda: make_triples(toks, mentions_df).count(), trials=2)
+    t, n = timed(lambda: make_triples(toks, mentions_df).count())
     timings["triples"], counts["triples"] = t, n
 
     # round-1-comparable set first, then the round-2 additions (lsh/ivf
@@ -143,7 +143,7 @@ def main() -> None:
         "subword_vectors", "encoded_tokens",
     ):
         fn = Q.queries()[name]
-        t, n = timed(lambda f=fn: f(spark, bench_sf).count(), trials=2)
+        t, n = timed(lambda f=fn: f(spark, bench_sf).count())
         timings[name], counts[name] = t, n
 
     total = sum(timings.values())

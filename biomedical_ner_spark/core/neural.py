@@ -164,8 +164,14 @@ class NumpyCombinatorialNER:
         wmap, cmap = self.word_vocab_map, self.char_vocab_map
         for i, toks in enumerate(batch):
             for j, tok in enumerate(toks[:max_len]):
-                if wmap is not None:  # checkpoint vocab: <UNK>=1 convention
-                    word_ids[i, j] = wmap.get(tok.lower(), 1)
+                if wmap is not None:
+                    # checkpoint vocab: the encode_tokens rules — digit
+                    # tokens hit <NUM>=2 BEFORE vocab lookup (app.py:229),
+                    # misses hit <UNK>=1
+                    if tok.isdigit():
+                        word_ids[i, j] = wmap.get("<NUM>", 2)
+                    else:
+                        word_ids[i, j] = wmap.get(tok.lower(), 1)
                 else:
                     h = hashlib.md5(tok.lower().encode()).digest()
                     word_ids[i, j] = (

@@ -64,9 +64,11 @@ def _canonical_edges(df: DataFrame, src: str, dst: str) -> DataFrame:
 CC_DRIVER_MAX_EDGES = 500_000
 
 
-def _driver_union_find(e: DataFrame) -> DataFrame:
+def _driver_union_find(rows, template: DataFrame) -> DataFrame:
     """Exact same (node, component=min-id) semantics as the star loop,
-    solved on the driver for edge sets under CC_DRIVER_MAX_EDGES."""
+    solved on the driver from already-collected edge Rows.  ``template``
+    supplies the node type for the (possibly empty) output frame so both
+    physical paths return identically-typed results."""
     parent: dict = {}
 
     def find(x):
@@ -77,7 +79,6 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = e.collect()
     for r in rows:
         a, b = r["src"], r["dst"]
         parent.setdefault(a, a)
@@ -87,11 +88,13 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             # union by min so the root IS the min label
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
+    from pyspark.sql.types import StructField, StructType
+
+    node_t = template.schema["src"].dataType
+    schema = StructType([StructField("node", node_t),
+                         StructField("component", node_t)])
     out = [(n, find(n)) for n in parent]
-    spark = e.sparkSession
-    if not out:
-        return spark.createDataFrame([], "node STRING, component STRING")
-    return spark.createDataFrame(out, ["node", "component"])
+    return template.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -114,11 +117,12 @@ def connected_components(
     """
     e = _canonical_edges(edges, "src", "dst")
     if driver_max_edges:
-        # capped count: one job; decides the gate without scanning past
-        # the threshold
-        n = e.limit(driver_max_edges + 1).count()
-        if n <= driver_max_edges:
-            return _driver_union_find(e)
+        # ONE capped job decides the gate AND feeds union-find (a separate
+        # count would execute the whole edge lineage twice); only the
+        # over-threshold case falls through and re-plans distributed
+        rows = e.limit(driver_max_edges + 1).collect()
+        if len(rows) <= driver_max_edges:
+            return _driver_union_find(rows, e)
 
     def _large_star(ed: DataFrame) -> DataFrame:
         # for each node, connect every strictly-larger neighbor to the

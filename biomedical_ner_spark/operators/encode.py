@@ -136,11 +136,13 @@ def encode_corpus(docs: DataFrame, word_vocab: DataFrame,
     """Size-gated encode: collect the dicts into the one-crossing Arrow
     closure while the vocab is reference-sized; switch to the relational
     join path when it is not.  Both paths emit ENCODED_SCHEMA and agree
-    on ASCII corpora (parametrized test)."""
-    if word_vocab.count() <= closure_max:
+    on ASCII corpora (parametrized test).  ONE capped collect both
+    decides the gate and supplies the closure dict (a separate count()
+    would execute the vocab-build lineage twice)."""
+    head = word_vocab.select("word", "id").limit(closure_max + 1).collect()
+    if len(head) <= closure_max:
         wv = {"<PAD>": 0, "<UNK>": 1, "<NUM>": 2}
-        wv.update({r["word"]: int(r["id"]) for r in
-                   word_vocab.select("word", "id").collect()})
+        wv.update({r["word"]: int(r["id"]) for r in head})
         cv = {"<PAD>": 0, "<UNK>": 1}
         cv.update({r["ch"]: int(r["id"]) for r in
                    char_vocab.select("ch", "id").collect()})

@@ -147,17 +147,21 @@ def stratified_sample(docs: DataFrame, fractions: dict[str, float],
     from ``fractions`` are dropped (fraction 0).  One narrow filter, no
     shuffle; the fractions dim is a plan literal (bounded by stratum
     count)."""
+    # F.concat (not concat_ws): a NULL doc_id must propagate to a NULL
+    # key so the row is dropped by the comparison — the same semantics as
+    # the oracle's `doc_id || ':seed'` (concat_ws would silently skip the
+    # NULL and sample every null-id row as one constant-key block)
     key = (
         F.conv(F.substring(
-            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
-                              F.lit(str(seed)))), 1, 8), 16, 10)
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(f":{seed}"))), 1, 8), 16, 10)
         .cast("double") / F.lit(4294967296.0)
     )
     frac = None
     for s, f in sorted(fractions.items()):
-        cond = F.when(F.col(stratum_col) == s, F.lit(float(f)))
-        frac = cond if frac is None else frac.when(
-            F.col(stratum_col) == s, F.lit(float(f)))
+        frac = (F.when(F.col(stratum_col) == s, F.lit(float(f)))
+                if frac is None
+                else frac.when(F.col(stratum_col) == s, F.lit(float(f))))
     frac = (frac.otherwise(F.lit(0.0)) if frac is not None
             else F.lit(0.0))
     return docs.where(key < frac)

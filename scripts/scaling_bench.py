@@ -152,11 +152,11 @@ def hardware_calibration() -> dict:
 
 
 def _burn(_: int) -> float:
-    t = time.time()
-    x = 0
-    for i in range(30_000_000):
-        x += i * i
-    return time.time() - t
+    # the ONE canonical calibration loop (bench.py) — shared so BENCH and
+    # BENCH_SCALING artifacts stay divided by identical reference work
+    from bench import _burn as _bench_burn
+
+    return _bench_burn()
 
 
 def _bw_burn(_: int) -> float:

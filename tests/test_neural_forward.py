@@ -107,8 +107,8 @@ def test_checkpoint_vocab_maps_drive_embedding_lookup():
     m = NumpyCombinatorialNER(
         n_tags=len(TAGSET), seed=7,
         word_vocab_map={"il-2": 3, "gene": 4}, char_vocab_map={"a": 2})
-    word_ids, char_ids, _ = m._ids([["IL-2", "gene", "alpha"]], 3)
-    assert list(word_ids[0]) == [3, 4, 1]
+    word_ids, char_ids, _ = m._ids([["IL-2", "gene", "alpha", "123"]], 4)
+    assert list(word_ids[0]) == [3, 4, 1, 2]  # digit -> <NUM>=2 pre-lookup
     assert char_ids[0, 2, 0] == 2  # 'a' mapped
     assert char_ids[0, 2, 1] == 1  # 'l' not in char map -> UNK
 
