@@ -267,6 +267,14 @@ MENTION_SCHEMA = (
 )
 
 
+def _mention_schema(docs: DataFrame, id_col: str) -> str:
+    """MENTION_SCHEMA with doc_id typed from the input (a 128-bit string
+    id — kg_pipeline.prepare_input(wide_ids=True) — flows through the
+    Arrow stage unchanged; every downstream join is key-type-agnostic)."""
+    id_t = docs.schema[id_col].dataType.simpleString()
+    return MENTION_SCHEMA.replace("doc_id BIGINT", f"doc_id {id_t}", 1)
+
+
 def extract_mentions_arrow(
     docs: DataFrame,
     text_col: str = "text",
@@ -325,7 +333,7 @@ def extract_mentions_arrow(
                     out["end_position"].append(e["end_position"])
             yield pd.DataFrame(out)
 
-    return src.mapInPandas(_extract, schema=MENTION_SCHEMA)
+    return src.mapInPandas(_extract, schema=_mention_schema(docs, id_col))
 
 
 # ---------------------------------------------------------------------------

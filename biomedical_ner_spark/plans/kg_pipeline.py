@@ -58,11 +58,23 @@ def _counts_by_bucket(df: DataFrame) -> dict[int, int]:
     }
 
 
-def prepare_input(repos: DataFrame, n_buckets: int) -> DataFrame:
+def prepare_input(repos: DataFrame, n_buckets: int,
+                  wide_ids: bool = False) -> DataFrame:
+    """Attach doc_id + resume bucket.
+
+    ``wide_ids``: the default 64-bit xxhash64 doc_id expects ~n^2/2^65
+    birthday collisions — ~27k at the 10^12-file design scale, where two
+    distinct files sharing a doc_id would cross-wire their mentions.
+    wide_ids=True switches to the 128-bit md5 hex key (expected
+    collisions ~1e-15 at 10^12 rows); every downstream join/groupBy is
+    key-type-agnostic.  Default stays 64-bit for cross-round output
+    determinism at test scale."""
     r = with_content_sha(repos)
-    r = r.withColumn(
-        "doc_id", F.xxhash64("repo", "path", "commit")
-    ).withColumn(
+    if wide_ids:
+        doc_id = F.md5(F.concat_ws("", "repo", "path", "commit"))
+    else:
+        doc_id = F.xxhash64("repo", "path", "commit")
+    r = r.withColumn("doc_id", doc_id).withColumn(
         "bucket",
         F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_buckets)).cast("int"),
     )
@@ -77,15 +89,18 @@ def run_kg_pipeline(
     n_buckets: int = 8,
     resume: bool = True,
     exact_parity: bool = True,
+    wide_ids: bool = False,
 ) -> dict:
     """Run (or resume) the full pipeline; returns summary counters.
 
     exact_parity=True routes extraction through the fused Arrow path
     (Python-re semantics on arbitrary unicode); False uses the pure-JVM
     window path (identical output on ASCII corpora, higher throughput).
+    wide_ids=True uses 128-bit doc ids (see prepare_input — the 10^12-file
+    collision guard).
     """
     manifest_path = f"{out_dir}/manifest"
-    src = prepare_input(repos, n_buckets).persist()
+    src = prepare_input(repos, n_buckets, wide_ids=wide_ids).persist()
     keep = ["doc_id", "bucket", "repo", "path", "commit", "lang", "content_sha"]
 
     import time as _time

@@ -218,3 +218,21 @@ def test_py_files_packaging_and_spark_submit(tmp_path):
     assert line, out.stdout[-2000:]
     summary = json.loads(line[0])
     assert summary["kg_job"] == "ok" and len(summary) > 1, summary
+
+
+def test_wide_ids_pipeline_same_graph(spark, tmp_path_factory):
+    """wide_ids=True (128-bit md5 doc ids — the 10^12-file collision
+    guard) must produce the same mention/relation/entity counts as the
+    64-bit default: ids only key the joins, never the content."""
+    from biomedical_ner_spark.plans.kg_pipeline import run_kg_pipeline
+    from biomedical_ner_spark.sources.repos import synthesize_repos
+
+    repos = synthesize_repos(spark, 200, seed=5)
+    out_a = str(tmp_path_factory.mktemp("kg_narrow"))
+    out_b = str(tmp_path_factory.mktemp("kg_wide"))
+    a = run_kg_pipeline(spark, repos, out_a, n_buckets=4)
+    b = run_kg_pipeline(spark, repos, out_b, n_buckets=4, wide_ids=True)
+    assert a["stages"] == b["stages"], (a["stages"], b["stages"])
+    wide = spark.read.parquet(f"{out_b}/mentions")
+    assert dict(wide.dtypes)["doc_id"] == "string"
+    assert wide.select("doc_id").first()[0] is not None
