@@ -367,7 +367,12 @@ def q_encoded_tokens(spark, sf_dir):
     relational DuckDB twin (char explode + dim join + ordered re-agg)."""
     from .operators.encode import encode_corpus
 
-    tags = _tags(spark, sf_dir)
+    # persist the tagged-token frame: BOTH dim builds (word vocab + char
+    # inventory) scan it, and without the cache the tokenize+tag lineage
+    # executes once per dim (the frame is token-stream-sized but its
+    # aggregates materialize it during the gate's collect, so the cache is
+    # populated exactly once; Spark LRU-evicts it afterwards)
+    tags = _tags(spark, sf_dir).persist()
     # size-gated: dict closure at reference vocab sizes, dim-frame joins
     # beyond CLOSURE_VOCAB_MAX (nothing vocabulary-sized on the driver)
     enc = encode_corpus(_docs(spark, sf_dir), stats.vocab_build(tags),
@@ -419,7 +424,8 @@ def q_vocab_sink(spark, sf_dir):
     three dims against the oracle computing them directly."""
     from .sources.embeddings import write_vocab_tables
 
-    tags = _tags(spark, sf_dir)
+    # three dim builds share one tokenize+tag pass (see q_encoded_tokens)
+    tags = _tags(spark, sf_dir).persist()
     path = _scratch("vocab_sink", sf_dir)
     write_vocab_tables(stats.vocab_build(tags), stats.char_inventory(tags),
                        stats.tag_map(tags), path)
