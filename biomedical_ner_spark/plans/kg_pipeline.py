@@ -206,25 +206,25 @@ def run_kg_pipeline(
                       "start_position", "end_position"),
             scope_cols=["doc_id"],
         )
-        # re-attach canonical ids + sha for the relations table
+        # re-attach canonical ids + sha for the relations table.  Mention
+        # start positions are unique per doc (span merge emits
+        # non-overlapping spans), so the per-doc (start -> canonical_id)
+        # MAP joins the triple stream ONCE on doc_id and resolves both
+        # endpoints with element_at — one shuffle of the (large) triple
+        # stream instead of two (doc_id, start) equi-joins.  The map rows
+        # are bounded by mentions-per-doc (<= max_seq_len).  At test scale
+        # the two forms measure equal (AQE broadcasts the mention side);
+        # the win is the shuffle count once both sides are corpus-sized.
+        pos_map = lm.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("start_position", "canonical_id"))
+            ).alias("_cmap")
+        )
         rel = (
             trip
-            .join(
-                lm.select(
-                    F.col("doc_id").alias("d1"),
-                    F.col("start_position").alias("s1"),
-                    F.col("canonical_id").alias("subj_cui"),
-                ),
-                (trip.doc_id == F.col("d1")) & (trip.subj_start == F.col("s1")),
-            )
-            .join(
-                lm.select(
-                    F.col("doc_id").alias("d2"),
-                    F.col("start_position").alias("s2"),
-                    F.col("canonical_id").alias("obj_cui"),
-                ),
-                (trip.doc_id == F.col("d2")) & (trip.obj_start == F.col("s2")),
-            )
+            .join(pos_map, "doc_id")
+            .withColumn("subj_cui", F.element_at("_cmap", F.col("subj_start")))
+            .withColumn("obj_cui", F.element_at("_cmap", F.col("obj_start")))
             .join(
                 src.select("doc_id", "bucket", "content_sha"), "doc_id"
             )
