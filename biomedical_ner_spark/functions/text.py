@@ -17,12 +17,16 @@ from pyspark.sql import functions as F
 # Word chars and whitespace are spelled out so Java regex and RE2 agree.
 SQL_TOKEN_PATTERN = r"[A-Za-z0-9_]+(?:-[A-Za-z0-9_]+)*|[^A-Za-z0-9_ \t\n\r]"
 
-# Stopword set for quality scoring (deterministic, tiny; P9-style filter
-# lists in the reference: utils/fonctionsFaxtText.py:553-562)
-STOPWORDS = (
+# THE single source for stopword-ish lists (P9-style filter lists in the
+# reference: utils/fonctionsFaxtText.py:553-562).  PLAUSIBILITY_STOPWORDS
+# is the augmentation filter's exact set (its DuckDB oracle embeds these
+# values — do not edit without updating _sql_augmented_sentences);
+# STOPWORDS extends it for quality scoring.
+PLAUSIBILITY_STOPWORDS = (
     "the", "a", "an", "of", "in", "to", "and", "or", "is", "was", "with",
-    "for", "on", "at", "by", "from", "which", "this", "that",
+    "for", "on", "at", "by", "from",
 )
+STOPWORDS = PLAUSIBILITY_STOPWORDS + ("which", "this", "that")
 
 
 def tokenize_expr(col: str | Column) -> Column:

@@ -23,10 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # plausibility filter P9 (utils/fonctionsFaxtText.py:553-562)
-_STOP = {
-    "the", "a", "an", "of", "in", "to", "and", "or", "is", "was", "with",
-    "for", "on", "at", "by", "from",
-}
+from ..functions.text import PLAUSIBILITY_STOPWORDS
+
+_STOP = frozenset(PLAUSIBILITY_STOPWORDS)
 
 
 def is_plausible(word: str) -> bool:
@@ -320,6 +319,10 @@ def balance_ner_dataset(sentences: DataFrame, spark: SparkSession,
     else:
         out = base
 
+    # persist before the recount: class_counts materializes the whole
+    # augmentation mapInPandas lineage, and the returned frame would
+    # otherwise re-execute it on the caller's first action
+    out = out.persist()
     final_counts = {r.cls: r.n for r in class_counts(out).collect()}
     overrep = sorted(
         c for c, n in final_counts.items()

@@ -260,21 +260,31 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        bits: int = 32, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on half-band
-    equality (pigeonhole: distance<=3 over 4 blocks guarantees a matching
-    block) to avoid the cross join."""
+    """Near-dup pairs by SimHash hamming distance, blocked on
+    (max_hamming + 1)-way bit-block equality — the pigeonhole guarantees
+    a pair within max_hamming shares at least one untouched block, so
+    recall is exact for ANY max_hamming (the block count is derived from
+    it, never silently under-provisioned) and no cross join exists."""
     s = simhash(docs, text_col, bits)
-    block_bits = bits // 4
-    mask = (1 << block_bits) - 1
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_blocks} blocks > {bits} "
+            "fingerprint bits; raise bits or lower max_hamming")
+    base = bits // n_blocks
+    spans_ = [(i * base,
+               base if i < n_blocks - 1 else bits - i * base)
+              for i in range(n_blocks)]
     blocked = s.select(
         "doc_id", "simhash",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("blk"),
-                    F.expr(f"(simhash >> {i * block_bits}) & {mask}").alias("key"),
+                    F.expr(f"(simhash >> {start}) & {(1 << width) - 1}")
+                    .alias("key"),
                 )
-                for i in range(4)
+                for i, (start, width) in enumerate(spans_)
             ])
         ).alias("e"),
     ).select("doc_id", "simhash", "e.blk", "e.key")

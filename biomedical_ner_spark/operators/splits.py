@@ -98,11 +98,20 @@ def sequential_split(docs: DataFrame, train: float = 0.7,
     lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
     if lo is None:  # empty corpus
         return base.select("doc_id", F.lit("train").alias("split")).limit(0)
-    span = max(int(hi) - int(lo) + 1, 1)
+    # bucket arithmetic in DOUBLE: with 64-bit hash-derived ids (the
+    # pipeline's own xxhash64 doc_id) lo..hi spans ~1.8e19, which neither
+    # fits a long literal nor survives (doc_id - lo) * nb under ANSI
+    # overflow checking.  Division by a positive double constant is
+    # monotone non-decreasing, so the bucket stays a valid monotone
+    # function of doc_id; precision only blurs bucket BOUNDARIES (sizes),
+    # never the rank correctness (ties stay within one bucket's window).
+    span = max(float(int(hi) - int(lo)) + 1.0, 1.0)
     bucket = F.least(
         F.lit(nb - 1),
-        F.floor((F.col("doc_id") - F.lit(int(lo))) * nb / F.lit(span))
-        .cast("int"),
+        F.greatest(F.lit(0), F.floor(
+            (F.col("doc_id").cast("double") - F.lit(float(int(lo))))
+            / F.lit(span) * nb
+        ).cast("int")),
     )
     ranked, total = _bucketed_rank(base, bucket, [F.col("doc_id")])
     return _threshold_select(ranked, total, train, dev)

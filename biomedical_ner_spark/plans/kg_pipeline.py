@@ -215,9 +215,16 @@ def run_kg_pipeline(
         # are bounded by mentions-per-doc (<= max_seq_len).  At test scale
         # the two forms measure equal (AQE broadcasts the mention side);
         # the win is the shuffle count once both sides are corpus-sized.
-        pos_map = lm.groupBy("doc_id").agg(
+        # per-(doc, start) min first: under a 64-bit doc_id collision two
+        # documents share a group and would duplicate a start key, which
+        # map_from_entries turns into a stage-killing DUPLICATED_MAP_KEY —
+        # the deterministic min degrades to the documented cross-wire
+        # instead (and wide_ids=True avoids collisions entirely)
+        pos_entries = lm.groupBy("doc_id", "start_position").agg(
+            F.min("canonical_id").alias("_cid"))
+        pos_map = pos_entries.groupBy("doc_id").agg(
             F.map_from_entries(
-                F.collect_list(F.struct("start_position", "canonical_id"))
+                F.collect_list(F.struct("start_position", "_cid"))
             ).alias("_cmap")
         )
         rel = (

@@ -199,7 +199,13 @@ def q_per_class_report(spark, sf_dir):
 
 
 def q_eval_join(spark, sf_dir):
-    pairs = ev.with_synthetic_predictions(_tags(spark, sf_dir))
+    """J5 through the REAL positional equi-join (eval.eval_join): the
+    synthetic prediction/target columns are split into two frames and
+    re-zipped on (doc_id, pos) — the distributed form of the reference's
+    zip(predictions, targets) — before the per-doc accuracy rollup."""
+    base = ev.with_synthetic_predictions(_tags(spark, sf_dir))
+    pairs = ev.eval_join(base.select("doc_id", "pos", "pred"),
+                         base.select("doc_id", "pos", "target"))
     return pairs.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("pred") == F.col("target"), 1).otherwise(0))
@@ -995,7 +1001,7 @@ def q_export_csv(spark, sf_dir):
 
     t = _tags(spark, sf_dir)
     path = _scratch("export_csv", sf_dir)
-    sinks.export_csv(t, None, path)
+    sinks.export_csv(t, path)
     back = (
         spark.read.option("header", True)
         .schema("doc_id BIGINT, position INT, token STRING,"
@@ -1391,8 +1397,10 @@ SELECT c.a, c.b,
 FROM common c
 JOIN sizes sa ON sa.doc_id = c.a
 JOIN sizes sb ON sb.doc_id = c.b
-WHERE c.common::DOUBLE / (sa.sz + sb.sz - c.common) >= 0.2
+WHERE round(c.common::DOUBLE / (sa.sz + sb.sz - c.common), 6) >= 0.2
 """
+# threshold on the ROUNDED value, matching the Spark side (membership
+# decided on rounded values — the repo's cross-engine convention)
 
 
 def _sql_simhash() -> str:
@@ -1431,7 +1439,7 @@ SELECT doc_id,
     AS punct_ratio,
   round(len(list_filter(arr, t -> lower(t) IN ({sw})))::DOUBLE
         / greatest(len(arr), 1), 6) AS stopword_ratio,
-  round(list_sum(list_transform(arr, t -> length(t)))::DOUBLE
+  round(coalesce(list_sum(list_transform(arr, t -> length(t))), 0)::DOUBLE
         / greatest(len(arr), 1), 6) AS mean_token_len
 FROM (
   SELECT doc_id, text,
@@ -1439,6 +1447,8 @@ FROM (
   FROM documents
 )
 """
+# coalesce above: DuckDB list_sum([]) is NULL while Spark's aggregate
+# fold starts at 0 — a zero-token document must read 0.0 in BOTH engines
 
 
 def _sql_corpus_curation() -> str:

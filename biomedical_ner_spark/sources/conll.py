@@ -51,8 +51,11 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
             (F.col("is_blank") == 0)
             & ~F.col("line").startswith("-DOCSTART-")
         )
-        .withColumn("token", F.split("line", "\t")[0])
-        .withColumn("label", F.coalesce(F.split("line", "\t")[1], F.lit("O")))
+        .withColumn("token", F.get(F.split("line", "\t"), 0))
+        # get() (not [1]) so a tab-less line defaults to 'O' instead of
+        # throwing INVALID_ARRAY_INDEX under ANSI mode
+        .withColumn("label",
+                    F.coalesce(F.get(F.split("line", "\t"), 1), F.lit("O")))
     )
     return (
         toks.groupBy("file", "sent_id")

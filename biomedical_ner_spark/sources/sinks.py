@@ -54,8 +54,9 @@ def export_json(preds: DataFrame, mentions_df: DataFrame, path: str,
     out.write.mode("overwrite").json(path)
 
 
-def export_csv(preds: DataFrame, mentions_df: DataFrame, path: str) -> None:
-    """Per-token CSV rows: position, token, tag, type (app.py:932-939)."""
+def export_csv(preds: DataFrame, path: str) -> None:
+    """Per-token CSV rows: position, token, tag, type (app.py:932-939;
+    type is derived from the tag column — no mention frame needed)."""
     rows = preds.select(
         "doc_id",
         F.col("pos").alias("position"),

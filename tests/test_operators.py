@@ -525,3 +525,47 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     c = {r.doc_id
          for r in splits.stratified_sample(docs, fr, seed=7).collect()}
     assert c != a
+
+
+def test_sequential_split_hash_scale_ids(spark):
+    """64-bit hash-derived doc ids (the pipeline's own xxhash64 range,
+    spanning ~1.8e19) must split without ANSI overflow and in exact
+    doc_id-rank order."""
+    ids = [-9_100_000_000_000_000_000, -5, 0, 3,
+           9_100_000_000_000_000_000, 42, 7_000_000_000_000_000_001,
+           -8_999_999_999_999_999_999, 1_000, -1_000]
+    from biomedical_ner_spark.operators import splits
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id BIGINT")
+    got = {r.doc_id: r.split
+           for r in splits.sequential_split(df).collect()}
+    ranked = sorted(ids)
+    n_train, n_dev = int(len(ids) * 0.7), int(len(ids) * 0.15)
+    want = {d: ("train" if i < n_train else
+                "dev" if i < n_train + n_dev else "test")
+            for i, d in enumerate(ranked)}
+    assert got == want
+
+
+def test_simhash_near_pairs_blocks_scale_with_max_hamming(spark, dup_docs):
+    """Pigeonhole recall at max_hamming > 3: blocking derives
+    max_hamming+1 blocks, so qualifying pairs cannot be silently dropped;
+    results equal the brute-force hamming filter."""
+    import itertools
+
+    for mh in (3, 5):
+        got = {(r.a, r.b): r.hamming
+               for r in dedup.simhash_near_pairs(
+                   dup_docs, max_hamming=mh).collect()}
+        sh = {r.doc_id: r.simhash for r in dedup.simhash(dup_docs).collect()}
+        want = {}
+        for a, b in itertools.combinations(sorted(sh), 2):
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= mh:
+                want[(a, b)] = h
+        assert got == want, mh
+    try:
+        dedup.simhash_near_pairs(dup_docs, bits=32, max_hamming=32)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

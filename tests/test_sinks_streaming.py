@@ -39,7 +39,7 @@ def test_json_export_schema(spark, preds_mentions, tmp_path):
 def test_csv_export_schema(spark, preds_mentions, tmp_path):
     preds, m = preds_mentions
     out = str(tmp_path / "csv_out")
-    sinks.export_csv(preds, m, out)
+    sinks.export_csv(preds, out)
     df = spark.read.option("header", True).csv(out)
     assert set(df.columns) == {"doc_id", "position", "token", "tag", "type"}
     assert int(df.count()) == preds.count()
