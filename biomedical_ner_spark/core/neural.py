@@ -63,9 +63,14 @@ class NumpyCombinatorialNER:
     ``weights`` dict of identically-shaped arrays is supplied — the export
     format a real torch checkpoint converts into.
 
-    ``dataset`` mirrors the reference's fusion branch (models/models.py:
-    117-129): the JNLPBA config's FC fusion is Linear+Dropout only
-    (identity here, inference mode), the NCBI config adds a ReLU.
+    ``dataset`` mirrors the reference's per-dataset config
+    (models/models.py:101, 117-129): the JNLPBA config's FC fusion is
+    Linear+Dropout only (identity here, inference mode) with CharCNN
+    kernels (3, 5, 7); the NCBI config adds a ReLU and switches the
+    kernels to (2, 3, 4).  ``kernels=None`` (the default) derives the
+    kernel set from ``dataset`` so a real NCBI checkpoint's CNN shapes
+    validate without a separate override; passing kernels explicitly
+    still wins.
 
     ``word_vocab_map`` / ``char_vocab_map`` (token -> row, char -> row)
     plug in a real checkpoint's vocabulary so embedding rows are looked
@@ -77,7 +82,8 @@ class NumpyCombinatorialNER:
     def __init__(self, n_tags: int, seed: int = 42,
                  word_vocab: int = 4096, char_vocab: int = 128,
                  word_dim: int = 200, char_dim: int = 50,
-                 char_filters: int = 32, kernels: Sequence[int] = (3, 5, 7),
+                 char_filters: int = 32,
+                 kernels: Sequence[int] | None = None,
                  char_hidden: int = 50, fusion_dim: int = 200,
                  lstm_hidden: int = 256, max_word_len: int = 20,
                  weights: dict[str, np.ndarray] | None = None,
@@ -86,6 +92,8 @@ class NumpyCombinatorialNER:
                  char_vocab_map: dict[str, int] | None = None):
         if dataset not in ("jnlpba", "ncbi"):
             raise ValueError(f"unknown dataset config: {dataset!r}")
+        if kernels is None:  # per-dataset CharCNN kernels (models.py:101)
+            kernels = (2, 3, 4) if dataset == "ncbi" else (3, 5, 7)
         self.n_tags = n_tags
         self.word_vocab = word_vocab
         self.char_vocab = char_vocab

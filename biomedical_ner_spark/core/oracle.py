@@ -41,15 +41,29 @@ def encode_tokens(
     char_vocab: dict[str, int],
     max_seq_len: int = MAX_SEQ_LEN,
     max_char_len: int = MAX_CHAR_LEN,
+    ascii_digits: bool = False,
 ) -> tuple[list[str], list[int], list[list[int]], int]:
     """Encoding stage of app.py:216-252 (without global padding: Spark pads
-    per Arrow batch only; the oracle returns unpadded ids + seq_len)."""
+    per Arrow batch only; the oracle returns unpadded ids + seq_len).
+
+    ``ascii_digits``: the reference's <NUM> test is Python str.isdigit
+    (app.py:229), which also accepts non-ASCII digits (Arabic-Indic,
+    superscripts).  The distributed engine's relational path can only
+    express the ASCII rule ([0-9]+), so its Arrow path passes
+    ascii_digits=True to make BOTH physical encode paths agree on every
+    input — the two rules differ only on non-ASCII digit tokens, where
+    the engine uniformly applies the ASCII rule.  Default False keeps the
+    exact reference transcription for the parity oracle."""
     tokens = tokens[:max_seq_len]
     seq_len = len(tokens)
     unk_w = vocab.get("<UNK>", 1)
+    if ascii_digits:
+        is_num = lambda t: t != "" and all("0" <= c <= "9" for c in t)  # noqa: E731
+    else:
+        is_num = str.isdigit  # reference semantics (app.py:229)
     word_ids = []
     for token in tokens:
-        if token.isdigit():  # Python str.isdigit semantics (app.py:229)
+        if is_num(token):
             word_ids.append(vocab.get("<NUM>", unk_w))
         else:
             word_ids.append(vocab.get(token.lower(), unk_w))

@@ -22,6 +22,16 @@ from ..functions.text import SQL_TOKEN_PATTERN
 N_BANDS = 8
 ROWS_PER_BAND = 2  # signature length = N_BANDS * ROWS_PER_BAND = 16
 
+# Default degenerate-bucket cap for the in-bucket pair expand (LSH /
+# SimHash blocking).  A bucket of k docs materializes a k-element array in
+# one aggregation row and emits k(k-1)/2 pair structs in a single
+# projection, so an UNCAPPED default lets one pathological bucket (a boiler-
+# plate page shared by millions of docs) OOM a task.  2000 docs -> <=2M pair
+# structs (~32 MB) per bucket — safely within one task — while genuine
+# near-dup buckets on deduped-first corpora stay far smaller.  Exact/oracle
+# configurations opt out with max_bucket=None explicitly.
+DEFAULT_MAX_BUCKET = 2000
+
 
 def _shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct lowercased token n-grams per doc.
@@ -164,10 +174,33 @@ def minhash_signatures_wide(docs: DataFrame, text_col: str = "text",
     ])
 
 
+def _lsh_banded(docs: DataFrame, text_col: str, n: int, n_bands: int,
+                rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket): band the WIDE minhash signature — band b
+    holds hash indices {b, b+n_bands, ...} (the hash_idx %% n_bands rule,
+    unchanged for the oracle), bucket = md5 of the band's sorted hashes."""
+    n_hashes = n_bands * rows_per_band
+    wide = minhash_signatures_wide(docs, text_col, n, n_hashes)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', md5(concat_ws('|', "
+        "sort_array(array({cols})))))".format(
+            b=b,
+            cols=", ".join(f"h{i}" for i in range(n_hashes)
+                           if i % n_bands == b),
+        )
+        for b in range(n_bands)
+    )
+    return wide.select(
+        "doc_id",
+        F.explode(F.expr(f"array({band_structs})")).alias("e"),
+    ).select("doc_id", "e.band", "e.bucket")
+
+
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
                         n_bands: int = N_BANDS,
                         rows_per_band: int = ROWS_PER_BAND,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET
+                        ) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature, group docs by
     (band, band-signature bucket), emit each bucket's distinct pairs.
 
@@ -182,23 +215,11 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
     ``max_bucket`` drops degenerate buckets larger than the cap (k docs in
     one bucket emit k^2/2 pairs whichever formulation is used).  Identical
     documents belong to the exact-dedup stage upstream, so at 100 TB a cap
-    in the thousands only sheds pathological buckets; None = exact (the
-    oracle configuration)."""
-    n_hashes = n_bands * rows_per_band
-    wide = minhash_signatures_wide(docs, text_col, n, n_hashes)
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bucket', md5(concat_ws('|', "
-        "sort_array(array({cols})))))".format(
-            b=b,
-            cols=", ".join(f"h{i}" for i in range(n_hashes)
-                           if i % n_bands == b),
-        )
-        for b in range(n_bands)
-    )
-    banded = wide.select(
-        "doc_id",
-        F.explode(F.expr(f"array({band_structs})")).alias("e"),
-    ).select("doc_id", "e.band", "e.bucket")
+    in the thousands only sheds pathological buckets.  The DEFAULT is the
+    finite DEFAULT_MAX_BUCKET (scale-safe); pass None explicitly for the
+    exact/oracle configuration.  Audit what a cap would shed with
+    oversize_buckets()."""
+    banded = _lsh_banded(docs, text_col, n, n_bands, rows_per_band)
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -215,6 +236,22 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
         )).alias("p"))
         .select("p.a", "p.b")
         .distinct()
+    )
+
+
+def oversize_buckets(docs: DataFrame, text_col: str = "text", n: int = 3,
+                     n_bands: int = N_BANDS,
+                     rows_per_band: int = ROWS_PER_BAND,
+                     max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Audit companion to lsh_candidate_pairs' cap: (band, bucket, n_docs)
+    for every bucket the default cap would shed — a cheap aggregate to run
+    (or sink to a side table) when capped recall needs accounting, instead
+    of silently reading 'covered everything'."""
+    banded = _lsh_banded(docs, text_col, n, n_bands, rows_per_band)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
     )
 
 
@@ -259,12 +296,18 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
-                       bits: int = 32, max_hamming: int = 3) -> DataFrame:
+                       bits: int = 32, max_hamming: int = 3,
+                       max_bucket: int | None = DEFAULT_MAX_BUCKET
+                       ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on
     (max_hamming + 1)-way bit-block equality — the pigeonhole guarantees
     a pair within max_hamming shares at least one untouched block, so
     recall is exact for ANY max_hamming (the block count is derived from
-    it, never silently under-provisioned) and no cross join exists."""
+    it, never silently under-provisioned) and no cross join exists.
+
+    ``max_bucket``: same degenerate-block cap as lsh_candidate_pairs
+    (finite by default — one hot bit-block key must not expand k^2/2 pair
+    structs in a single task); None = exact, the oracle configuration."""
     s = simhash(docs, text_col, bits)
     n_blocks = max_hamming + 1
     if n_blocks > bits:
@@ -297,6 +340,8 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
             F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
         .where(F.size("ds") > 1)
     )
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ds") <= max_bucket)
     pairs = (
         grouped.select(F.explode(F.expr(
             "flatten(transform(ds, (x, i) ->"
@@ -317,7 +362,9 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         n_planes: int = 8, n_tables: int = 4,
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42,
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET
+                        ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on random-hyperplane LSH
     buckets (similarity.lsh_candidates): only pairs sharing >=1 sign-bucket
     are scored — never a cross join.  APPROXIMATE: recall < 1 by LSH design
@@ -327,7 +374,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     from .similarity import cosine_pandas, lsh_candidates
 
     cand = lsh_candidates(embeddings, n_planes, n_tables, seed,
-                          id_col, vec_col)
+                          id_col, vec_col, max_bucket=max_bucket)
     va = embeddings.select(F.col(id_col).alias("a"),
                            F.col(vec_col).alias("va"))
     vb = embeddings.select(F.col(id_col).alias("b"),

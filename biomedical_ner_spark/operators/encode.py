@@ -12,8 +12,14 @@ Two physical forms behind one size-gated entry point (encode_corpus):
 * join path (encode_corpus_join) — tokens join the (word, id) / (ch, id)
   dim FRAMES; nothing vocabulary-sized ever reaches the driver or a
   closure, so an unbounded web-corpus vocabulary just becomes an ordinary
-  keyed join that AQE broadcasts or shuffles on size.  Digit detection is
-  the ASCII rule (same documented ASCII equivalence as the JVM span path).
+  keyed join that AQE broadcasts or shuffles on size.
+
+Both paths apply the SAME <NUM> digit rule — ASCII [0-9]+ (the closure
+path passes ascii_digits=True into the shared encode_tokens) — so the
+size gate never silently switches semantics on non-ASCII input; the
+reference's str.isdigit rule (which also accepts e.g. Arabic-Indic
+digits) lives only in the core.oracle parity transcription, and the two
+agree on every ASCII corpus.
 
 Measured at sf0.1/local[32] (warm best-of-2): closure 1.42 s, join
 1.72 s — the closure wins while the dicts are small, which is why it is
@@ -54,7 +60,7 @@ def encode_corpus_arrow(docs: DataFrame, word_vocab: dict[str, int],
                 toks = tokenize_text(raw or "")
                 toks, wids, cseqs, _ = encode_tokens(
                     toks, word_vocab, char_vocab,
-                    MAX_SEQ_LEN, MAX_CHAR_LEN)
+                    MAX_SEQ_LEN, MAX_CHAR_LEN, ascii_digits=True)
                 for p, (tok, wid, cids) in enumerate(
                         zip(toks, wids, cseqs)):
                     rows.append((did, p, tok, wid, cids))

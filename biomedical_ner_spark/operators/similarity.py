@@ -187,11 +187,18 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
 def lsh_candidates(embeddings: DataFrame, n_planes: int = 8,
                    n_tables: int = 4, seed: int = 42,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_bucket: int | None = None) -> DataFrame:
     """Distinct unordered candidate pairs (a < b) sharing >=1 LSH bucket.
 
     One groupBy + in-bucket combination expand (not a self-join, which
-    evaluates the bucket lineage twice — see dedup.lsh_candidate_pairs)."""
+    evaluates the bucket lineage twice — see dedup.lsh_candidate_pairs).
+
+    ``max_bucket`` sheds sign-buckets above the cap (a bucket of k vectors
+    expands k(k-1)/2 pair structs in one task).  Default None here because
+    expected bucket size is corpus_size / 2^n_planes BY DESIGN — size
+    n_planes to the corpus first; the scale entry point
+    (dedup.embedding_near_dups) passes a finite cap."""
     buckets = hyperplane_buckets(
         embeddings, n_planes, n_tables, seed, id_col, vec_col)
     grouped = (
@@ -199,6 +206,8 @@ def lsh_candidates(embeddings: DataFrame, n_planes: int = 8,
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ids") <= max_bucket)
     return (
         grouped.select(F.explode(F.expr(
             "flatten(transform(ids, (x, i) ->"
@@ -220,7 +229,9 @@ def train_kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
     _centroid_ranks uses), then n_iter rounds of
     assign-by-cosine (one numpy matmul per Arrow batch, centroids in the
     closure — k x dim bounded) -> per-centroid mean (posexplode +
-    groupBy(cid, dim) avg, one keyed shuffle) -> renormalize.  Returns the
+    groupBy(cid, dim) avg, ROUNDED to 9 dp so the result is independent
+    of the distributed summation order — the subword_mean_components
+    convention; one keyed shuffle) -> renormalize.  Returns the
     collected (cid, vector) list — the same bounded artifact the sampled
     path collects, so it drops into ivf_assignments/ivf_topk unchanged.
 
@@ -256,7 +267,7 @@ def train_kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
             assign, schema=f"cid bigint, v array<float>")
         means = (
             assigned.select("cid", F.posexplode("v").alias("j", "x"))
-            .groupBy("cid", "j").agg(F.avg("x").alias("m"))
+            .groupBy("cid", "j").agg(F.round(F.avg("x"), 9).alias("m"))
             .groupBy("cid")
             .agg(F.sort_array(F.collect_list(F.struct("j", "m"))).alias("e"))
             .select("cid", F.expr("transform(e, s -> s.m)").alias("mv"))

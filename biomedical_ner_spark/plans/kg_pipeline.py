@@ -68,10 +68,21 @@ def prepare_input(repos: DataFrame, n_buckets: int,
     wide_ids=True switches to the 128-bit md5 hex key (expected
     collisions ~1e-15 at 10^12 rows); every downstream join/groupBy is
     key-type-agnostic.  Default stays 64-bit for cross-round output
-    determinism at test scale."""
+    determinism at test scale.
+
+    The md5 input is the JSON of the key struct (nulls kept), not a
+    separator-joined concat: concat_ws silently drops NULL fields (so
+    (NULL, 'x', c) and ('x', NULL, c) collide) and a separator byte
+    appearing inside a field shifts boundaries.  JSON escaping frames
+    every field unambiguously and keeps NULL distinct from '' — the
+    collision guard holds for arbitrary key values.  (The 64-bit branch
+    and the bucket key use xxhash64, which hashes fields separately and
+    needs no framing.)"""
     r = with_content_sha(repos)
     if wide_ids:
-        doc_id = F.md5(F.concat_ws("", "repo", "path", "commit"))
+        doc_id = F.md5(F.to_json(
+            F.struct("repo", "path", "commit"),
+            {"ignoreNullFields": "false"}))
     else:
         doc_id = F.xxhash64("repo", "path", "commit")
     r = r.withColumn("doc_id", doc_id).withColumn(
@@ -212,29 +223,34 @@ def run_kg_pipeline(
         # MAP joins the triple stream ONCE on doc_id and resolves both
         # endpoints with element_at — one shuffle of the (large) triple
         # stream instead of two (doc_id, start) equi-joins.  The map rows
-        # are bounded by mentions-per-doc (<= max_seq_len).  At test scale
-        # the two forms measure equal (AQE broadcasts the mention side);
-        # the win is the shuffle count once both sides are corpus-sized.
+        # are bounded by mentions-per-doc (<= max_seq_len).  The doc's
+        # bucket + content_sha ride along in the SAME one-row-per-doc
+        # aggregate (lm carries both, constant per doc), so there is no
+        # second corpus-sized join back to src: the triple stream — the
+        # largest stream in the pipeline — shuffles exactly once here.
+        # At test scale AQE broadcasts the map side either way; at 100 TB
+        # the dropped src join-back was a full extra shuffle.
         # per-(doc, start) min first: under a 64-bit doc_id collision two
         # documents share a group and would duplicate a start key, which
         # map_from_entries turns into a stage-killing DUPLICATED_MAP_KEY —
         # the deterministic min degrades to the documented cross-wire
         # instead (and wide_ids=True avoids collisions entirely)
         pos_entries = lm.groupBy("doc_id", "start_position").agg(
-            F.min("canonical_id").alias("_cid"))
+            F.min("canonical_id").alias("_cid"),
+            F.min("bucket").alias("_bkt"),
+            F.min("content_sha").alias("_sha"))
         pos_map = pos_entries.groupBy("doc_id").agg(
             F.map_from_entries(
                 F.collect_list(F.struct("start_position", "_cid"))
-            ).alias("_cmap")
+            ).alias("_cmap"),
+            F.min("_bkt").alias("bucket"),
+            F.min("_sha").alias("content_sha"),
         )
         rel = (
             trip
             .join(pos_map, "doc_id")
             .withColumn("subj_cui", F.element_at("_cmap", F.col("subj_start")))
             .withColumn("obj_cui", F.element_at("_cmap", F.col("obj_start")))
-            .join(
-                src.select("doc_id", "bucket", "content_sha"), "doc_id"
-            )
             .select(
                 "subj_cui", "pred", "obj_cui", "subj_text", "obj_text",
                 "subj_type", "obj_type", "doc_id", "content_sha", "bucket",

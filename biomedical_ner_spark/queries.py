@@ -256,7 +256,10 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir)).select(
+    # max_bucket=None: the exact/oracle configuration (the engine default
+    # is the finite DEFAULT_MAX_BUCKET scale cap)
+    return dedup.lsh_candidate_pairs(
+        _docs(spark, sf_dir), max_bucket=None).select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),
     )
@@ -604,7 +607,8 @@ def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-bucket blocked (dedup.py) —
     value-checked: the oracle recomputes the md5-derived hyperplane
     buckets, the blocked candidate pairs, and the cosine filter."""
-    return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.2)
+    return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.2,
+                                     max_bucket=None)
 
 
 def q_canonical_surfaces(spark, sf_dir):

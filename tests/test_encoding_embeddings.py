@@ -158,7 +158,12 @@ def test_encode_corpus_closure_and_join_paths_agree(spark):
 
     docs = spark.createDataFrame(
         [(1, "IL-2 gene 123 activates xyz"),
-         (2, "p53 p53 , binds ; supercalifragilisticexpialidocious42")],
+         (2, "p53 p53 , binds ; supercalifragilisticexpialidocious42"),
+         # non-ASCII digits (Arabic-Indic \u0661\u0662\u0663): Python
+         # str.isdigit() accepts them but the engine's unified rule is
+         # ASCII [0-9]+ on BOTH paths — the size gate must not switch
+         # semantics on such input
+         (3, "\u0661\u0662\u0663 gene 7")],
         "doc_id BIGINT, text STRING")
     wv = spark.createDataFrame(
         [("il-2", 3), ("gene", 4), ("p53", 5), ("binds", 6)],
@@ -183,3 +188,5 @@ def test_encode_corpus_closure_and_join_paths_agree(spark):
     tok, wid, cids = by_tok[(2, 5)]
     assert len(cids) == 20              # 20-char truncation
     assert wid == 1
+    assert by_tok[(3, 0)][1] == 1       # non-ASCII digits: UNK, not <NUM>
+    assert by_tok[(3, 2)][1] == 2       # ASCII '7' -> <NUM> on both paths

@@ -236,3 +236,27 @@ def test_wide_ids_pipeline_same_graph(spark, tmp_path_factory):
     wide = spark.read.parquet(f"{out_b}/mentions")
     assert dict(wide.dtypes)["doc_id"] == "string"
     assert wide.select("doc_id").first()[0] is not None
+
+
+def test_wide_ids_json_framing_no_field_boundary_or_null_collisions(spark):
+    """The 128-bit doc_id hashes the JSON of (repo, path, commit) with
+    nulls kept: shifted field boundaries ('ab'/'c' vs 'a'/'bc'), a
+    separator-looking byte inside a field, and NULL-vs-empty patterns
+    must all produce distinct ids (concat-style keys collide on these,
+    structurally defeating the collision guard)."""
+    from biomedical_ner_spark.plans.kg_pipeline import prepare_input
+
+    rows = [
+        ("ab", "c", "x", "py", "t1"),
+        ("a", "bc", "x", "py", "t2"),
+        ("a", "b\x1fc", "x", "py", "t3"),   # separator byte inside field
+        (None, "bc", "x", "py", "t4"),
+        ("", "bc", "x", "py", "t5"),        # NULL vs empty string
+        ("bc", None, "x", "py", "t6"),      # NULL in a different slot
+    ]
+    df = spark.createDataFrame(
+        rows, "repo STRING, path STRING, commit STRING, lang STRING,"
+              " content STRING")
+    ids = [r.doc_id for r in
+           prepare_input(df, n_buckets=4, wide_ids=True).collect()]
+    assert len(set(ids)) == len(rows), ids

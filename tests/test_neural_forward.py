@@ -152,3 +152,35 @@ def test_numpy_checkpoint_roundtrip(tmp_path):
     assert np.array_equal(em_loaded, em_src)
     tags = tagger.tag_batch(batch)
     assert [len(t) for t in tags] == [len(b) for b in batch]
+
+
+def test_ncbi_kernels_derived_from_dataset_config():
+    """models/models.py:101: NCBI uses CharCNN kernels (2, 3, 4) vs
+    JNLPBA's (3, 5, 7).  kernels=None derives the set from the dataset
+    flag, so an NCBI checkpoint's CNN weights shape-validate through
+    load_numpy_tagger(dataset='ncbi') with no separate kernel override."""
+    import tempfile
+
+    from biomedical_ner_spark.core.tagger import (
+        load_numpy_tagger,
+        save_numpy_checkpoint,
+    )
+
+    jn = NumpyCombinatorialNER(n_tags=len(TAGSET), seed=7, dataset="jnlpba")
+    nc = NumpyCombinatorialNER(n_tags=len(TAGSET), seed=7, dataset="ncbi")
+    assert jn.kernels == (3, 5, 7)
+    assert nc.kernels == (2, 3, 4)
+    assert set(nc.w) - set(jn.w) == {"cnn2_W", "cnn2_b", "cnn4_W", "cnn4_b"}
+    # explicit kernels still win over the dataset default
+    custom = NumpyCombinatorialNER(
+        n_tags=len(TAGSET), seed=7, dataset="ncbi", kernels=(3,))
+    assert custom.kernels == (3,)
+    # an "NCBI checkpoint" (the ncbi model's own weight dict) round-trips
+    # through the loader without shape/key errors, and its emissions match
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/ncbi.npz"
+        save_numpy_checkpoint(nc.w, path)
+        tagger = load_numpy_tagger(path, seed=7, dataset="ncbi")
+        batch = _golden_tokens()
+        got = tagger.emissions_from_tokens(batch, len(TAGSET))
+        np.testing.assert_array_equal(got, nc.emissions(batch, len(TAGSET)))

@@ -569,3 +569,29 @@ def test_simhash_near_pairs_blocks_scale_with_max_hamming(spark, dup_docs):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_lsh_default_cap_is_finite_and_audited(spark):
+    """Scale-path default: a degenerate bucket larger than
+    DEFAULT_MAX_BUCKET must be shed by the DEFAULT call (no k^2/2 pair
+    expand in one task), and oversize_buckets must report exactly what
+    was shed.  The exact configuration stays reachable via
+    max_bucket=None."""
+    k = dedup.DEFAULT_MAX_BUCKET + 50
+    rows = [(i, "one shared boilerplate sentence repeated verbatim")
+            for i in range(k)]
+    rows += [(k + 1, "a genuinely distinct document about spark plans"),
+             (k + 2, "a genuinely distinct document about spark plans")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    assert dedup.DEFAULT_MAX_BUCKET is not None
+    capped = {(r.a, r.b) for r in dedup.lsh_candidate_pairs(df).collect()}
+    assert capped == {(k + 1, k + 2)}  # degenerate bucket shed by default
+    audit = dedup.oversize_buckets(df).collect()
+    assert audit and all(r.n_docs == k for r in audit)
+    # the exact configuration still emits the full pair set
+    n_exact = dedup.lsh_candidate_pairs(df, max_bucket=None).count()
+    assert n_exact == k * (k - 1) // 2 + 1
+    # simhash blocking honors the same default cap
+    sim_capped = {(r.a, r.b)
+                  for r in dedup.simhash_near_pairs(df).collect()}
+    assert sim_capped == {(k + 1, k + 2)}
