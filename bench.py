@@ -72,18 +72,26 @@ def _prep_input(spark) -> str:
         else "/tmp/bns_bench_sf"
     shutil.rmtree(dst, ignore_errors=True)
     # per-table split counts: documents carry CPU-heavy per-row expression
-    # work (wide scans win); embeddings feed Arrow/numpy batch stages where
-    # a ~50 ms-per-task setup makes tiny files read as serial overhead —
-    # batches want >= ~250 vectors each (the production table is huge, so
-    # its natural files are full-sized batches anyway)
+    # work (wide scans win at 2x cores regardless of file size); embeddings
+    # feed Arrow/numpy batch stages where a ~50 ms-per-task setup makes
+    # tiny files read as serial overhead — batches want >= ~250 vectors
+    # each; events is a narrow table hit only by a cheap windowed agg, so
+    # files below ~25k rows are pure task-scheduling overhead (the r3
+    # bench split it 64 ways at 1.5k rows/file and the 1-exchange
+    # event_windows query measured 0.91 s vs 0.41 s on the same session —
+    # a production events table's files are full row groups, not slivers)
     for t in ("documents", "events", "embeddings"):
         src = f"{SF_DIR}/{t}.parquet"
         if not os.path.exists(src):
             continue
         df = spark.read.parquet(src)
         wide = max(2 * CPUS, 32)
-        files = wide if t != "embeddings" else max(
-            1, min(wide, df.count() // 250))
+        if t == "embeddings":
+            files = max(1, min(wide, df.count() // 250))
+        elif t == "events":
+            files = max(1, min(wide, df.count() // 25_000))
+        else:
+            files = wide
         (df.repartition(files)
          .write.mode("overwrite").parquet(f"{dst}/{t}.parquet"))
     return dst
