@@ -58,6 +58,53 @@ _SENTENCE_POOL = [
 _LANGS = ["python", "java", "text", "markdown"]
 
 
+def synthesize_repos_sql(spark: SparkSession, n_files: int,
+                         seed: int = 99,
+                         hot_fraction: float = 0.3) -> DataFrame:
+    """Distributed twin of synthesize_repos for million-file-and-up scale
+    points: every per-file decision is xxhash64-derived from (seed, id, j)
+    — order- and partitioning-independent — and the whole generator is
+    pure JVM expressions over spark.range(n), so 10^6..10^9 files
+    synthesize scan-parallel with NOTHING on the driver (the sequential
+    generator builds a Python list driver-side; at 1M rows that is
+    hundreds of MB and minutes of createDataFrame).
+
+    Same pool/shape/skew as synthesize_repos (2-6 sentences per file,
+    hot_fraction of files sampling the hot-p53 sentences), but NOT
+    byte-compatible with the sequential RNG — use the sequential one when
+    comparing against recorded e2e graph outputs, this one for wall-clock
+    scale curves."""
+    pool = ", ".join("'" + t.replace("'", "''") + "'"
+                     for t in _SENTENCE_POOL)
+    langs = ", ".join(f"'{l}'" for l in _LANGS)
+    n_pool = len(_SENTENCE_POOL)
+
+    def u(tag: str) -> str:  # uniform [0,1) from (seed, id, tag)
+        return (f"(pmod(xxhash64('{seed}', id, '{tag}'), 1000000)"
+                " / 1000000.0)")
+
+    sent = (
+        f"CASE WHEN {u('hot')} < {hot_fraction} "
+        f"THEN element_at(array({pool}), "
+        f"  10 + cast(pmod(xxhash64('{seed}', id, j, 'h'), 2) AS INT)) "
+        f"ELSE element_at(array({pool}), "
+        f"  1 + cast(pmod(xxhash64('{seed}', id, j, 's'), {n_pool}) AS INT))"
+        " END"
+    )
+    return spark.range(n_files).selectExpr(
+        "concat('org', id % 7, '/repo', id % 13) AS repo",
+        "concat('src/module_', id % 97, '/file_', id, '.txt') AS path",
+        f"sha1(concat_ws(':', '{seed}', 'org' || id % 7 || '/repo' ||"
+        " id % 13, 'src/module_' || id % 97 || '/file_' || id || '.txt'))"
+        " AS commit",
+        f"element_at(array({langs}),"
+        f" 1 + cast(pmod(xxhash64('{seed}', id, 'lang'), 4) AS INT)) AS lang",
+        f"concat_ws('. ', transform(sequence(1,"
+        f" 2 + cast(pmod(xxhash64('{seed}', id, 'k'), 5) AS INT)),"
+        f" j -> {sent})) AS content",
+    )
+
+
 def synthesize_repos(spark: SparkSession, n_files: int = 2000,
                      seed: int = 42, hot_fraction: float = 0.3) -> DataFrame:
     """Seeded repo corpus: `hot_fraction` of files over-sample the hot-p53

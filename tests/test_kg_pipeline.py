@@ -260,3 +260,26 @@ def test_wide_ids_json_framing_no_field_boundary_or_null_collisions(spark):
     ids = [r.doc_id for r in
            prepare_input(df, n_buckets=4, wide_ids=True).collect()]
     assert len(set(ids)) == len(rows), ids
+
+
+def test_synthesize_repos_sql_deterministic_and_pool_shaped(spark):
+    """The distributed (expression-only) synthesizer must be independent
+    of partitioning/order (xxhash64-derived decisions) and draw from the
+    same sentence pool / per-file shape as the sequential generator."""
+    from biomedical_ner_spark.sources.repos import (
+        _SENTENCE_POOL,
+        synthesize_repos_sql,
+    )
+
+    df = synthesize_repos_sql(spark, 400, seed=99)
+    a = sorted((r.repo, r.path, r.commit, r.lang, r.content)
+               for r in df.collect())
+    b = sorted((r.repo, r.path, r.commit, r.lang, r.content)
+               for r in synthesize_repos_sql(spark, 400, seed=99)
+               .repartition(13).collect())
+    assert a == b
+    pool = set(_SENTENCE_POOL)
+    for _, _, _, _, content in a:
+        sents = content.split(". ")
+        assert 2 <= len(sents) <= 6
+        assert all(s in pool for s in sents), sents
