@@ -27,7 +27,16 @@ def salted_counts(df: DataFrame, key_col: str, n_salt: int = 16) -> DataFrame:
     """Two-phase count for skewed keys: partial agg per (key, salt) then
     final per key.  `salt = pmod(xxhash64(row-unique), n_salt)` spreads a
     hot key (e.g. the 'join' protein, ~1k mentions/500 docs here, far worse
-    at web scale) over n_salt reducers before the final tiny agg."""
+    at web scale) over n_salt reducers before the final tiny agg.
+
+    CAVEAT — do not copy this salt for non-algebraic aggregates:
+    monotonically_increasing_id() is NONDETERMINISTIC under task retries
+    (a re-run partition re-numbers its rows), which is harmless here only
+    because a row's salt changes WHICH partial bucket it counts into, not
+    the final SUM.  An agg where per-bucket membership matters (min/max of
+    a salted pre-agg carrying other columns, first/any_value, collect_*)
+    would become retry-dependent; derive the salt from row CONTENT
+    (md5/xxhash64 of value columns) in that case."""
     salted = df.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)),

@@ -32,6 +32,65 @@ ROWS_PER_BAND = 2  # signature length = N_BANDS * ROWS_PER_BAND = 16
 # configurations opt out with max_bucket=None explicitly.
 DEFAULT_MAX_BUCKET = 2000
 
+# shard count for the capped two-level aggregation in _bounded_groups
+N_BUCKET_SHARDS = 256
+
+
+def _bounded_groups(df: DataFrame, group_cols: list[str], item,
+                    max_bucket: int | None,
+                    n_shards: int = N_BUCKET_SHARDS) -> DataFrame:
+    """(group_cols..., items sorted ARRAY) per group with >1 item,
+    dropping groups larger than ``max_bucket`` BEFORE any unbounded
+    array exists.
+
+    max_bucket=None: one groupBy + collect_list — the exact path (a
+    group's full array forms in one aggregation row; oracle configs and
+    pre-deduped corpora).
+
+    Finite max_bucket: a naive post-agg size filter would still build the
+    oversize group's k-element array in its single reducer row first, so
+    the cap is enforced in TWO salted levels over one pass of the
+    lineage.  Level 1 groups by (group, shard) with shard =
+    pmod(xxhash64(item), n_shards) — content-derived, so retries re-shard
+    identically — and drops shards above the cap; a group small enough to
+    survive (k <= max_bucket) can never lose a shard (every shard of it
+    is <= k <= cap), so kept groups are EXACT.  Level 2 regroups the
+    <= n_shards bounded shard rows, drops groups whose total exceeds the
+    cap, and only then flattens.  Memory bound: level-1 rows <=
+    max(max_bucket, k/n_shards) items, level-2 rows <= n_shards *
+    max_bucket items (~1-2 MB at the defaults) — the k^2/2 pair expand is
+    capped absolutely, and the linear k-array funnel needs a single
+    signature bucket of > n_shards * max_bucket (~512k) IDENTICALLY-
+    banded docs (post exact-dedup) before a level-1 row grows past
+    ~max_bucket elements, and even then only as k/256.  A monster group
+    loses all (or nearly all) level-1 shards, so it vanishes instead of
+    OOMing; the rare boundary shard that survives emits a tiny subset of
+    an already-shed bucket — within the capped contract (recall on shed
+    buckets is 0 anyway).  Cost vs the exact path: one extra shuffle of
+    the (small) id/shard stream; the expensive upstream lineage still
+    evaluates ONCE."""
+    item_c = F.col(item) if isinstance(item, str) else item
+    if max_bucket is None:
+        return (
+            df.groupBy(*group_cols)
+            .agg(F.sort_array(F.collect_list(item_c)).alias("items"))
+            .where(F.size("items") > 1)
+        )
+    s1 = (
+        df.withColumn("_shard", F.pmod(F.xxhash64(item_c), F.lit(n_shards)))
+        .groupBy(*group_cols, "_shard")
+        .agg(F.collect_list(item_c).alias("_part"))
+        .where(F.size("_part") <= max_bucket)
+    )
+    return (
+        s1.groupBy(*group_cols)
+        .agg(F.sum(F.size("_part")).alias("_n"),
+             F.collect_list("_part").alias("_parts"))
+        .where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .select(*group_cols,
+                F.sort_array(F.flatten("_parts")).alias("items"))
+    )
+
 
 def _shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct lowercased token n-grams per doc.
@@ -220,13 +279,9 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
     exact/oracle configuration.  Audit what a cap would shed with
     oversize_buckets()."""
     banded = _lsh_banded(docs, text_col, n, n_bands, rows_per_band)
-    grouped = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    if max_bucket is not None:
-        grouped = grouped.where(F.size("ids") <= max_bucket)
+    grouped = _bounded_groups(
+        banded, ["band", "bucket"], "doc_id", max_bucket
+    ).withColumnRenamed("items", "ids")
     # ids is sorted, so pairing each x with the ids AFTER it yields a < b
     return (
         grouped.select(F.explode(F.expr(
@@ -333,15 +388,12 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     ).select("doc_id", "simhash", "e.blk", "e.key")
     # in-bucket combination expand, carrying each doc's fingerprint in the
     # grouped struct so the hamming filter needs no join back (and the
-    # simhash lineage is evaluated once — see lsh_candidate_pairs)
-    grouped = (
-        blocked.groupBy("blk", "key")
-        .agg(F.sort_array(
-            F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
-        .where(F.size("ds") > 1)
-    )
-    if max_bucket is not None:
-        grouped = grouped.where(F.size("ds") <= max_bucket)
+    # simhash lineage is evaluated once — see lsh_candidate_pairs);
+    # capped via the two-level salted aggregation (_bounded_groups) so a
+    # degenerate bit-block key never funnels unbounded into one row
+    grouped = _bounded_groups(
+        blocked, ["blk", "key"], F.struct("doc_id", "simhash"), max_bucket
+    ).withColumnRenamed("items", "ds")
     pairs = (
         grouped.select(F.explode(F.expr(
             "flatten(transform(ds, (x, i) ->"

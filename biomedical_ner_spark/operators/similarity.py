@@ -199,15 +199,13 @@ def lsh_candidates(embeddings: DataFrame, n_planes: int = 8,
     expected bucket size is corpus_size / 2^n_planes BY DESIGN — size
     n_planes to the corpus first; the scale entry point
     (dedup.embedding_near_dups) passes a finite cap."""
+    from .dedup import _bounded_groups
+
     buckets = hyperplane_buckets(
         embeddings, n_planes, n_tables, seed, id_col, vec_col)
-    grouped = (
-        buckets.groupBy("table", "bucket")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    if max_bucket is not None:
-        grouped = grouped.where(F.size("ids") <= max_bucket)
+    grouped = _bounded_groups(
+        buckets, ["table", "bucket"], "id", max_bucket
+    ).withColumnRenamed("items", "ids")
     return (
         grouped.select(F.explode(F.expr(
             "flatten(transform(ids, (x, i) ->"

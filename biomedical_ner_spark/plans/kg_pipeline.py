@@ -75,16 +75,30 @@ def prepare_input(repos: DataFrame, n_buckets: int,
     (NULL, 'x', c) and ('x', NULL, c) collide) and a separator byte
     appearing inside a field shifts boundaries.  JSON escaping frames
     every field unambiguously and keeps NULL distinct from '' — the
-    collision guard holds for arbitrary key values.  (The 64-bit branch
-    and the bucket key use xxhash64, which hashes fields separately and
-    needs no framing.)"""
+    collision guard holds for arbitrary key values.
+
+    The 64-bit branch needs its own NULL handling: Spark's xxhash64
+    SKIPS null children entirely (the running hash passes through), so
+    (NULL, 'x', c) and ('x', NULL, c) would otherwise hash identically.
+    Each field is coalesced to a control-byte sentinel — non-NULL rows
+    hash exactly as before (recorded e2e outputs stay byte-stable), and
+    NULL-position swaps now differ because the sentinel is hashed in the
+    null slot.  A real field VALUE equal to the sentinel still collides
+    with NULL; a path/repo/commit containing \x00 bytes is outside any
+    sane input contract, and wide_ids=True has no such caveat at all.
+    (The bucket key keeps raw xxhash64: bucket collisions are by-design
+    harmless — pmod(n_buckets) collapses everything anyway.)"""
     r = with_content_sha(repos)
     if wide_ids:
         doc_id = F.md5(F.to_json(
             F.struct("repo", "path", "commit"),
             {"ignoreNullFields": "false"}))
     else:
-        doc_id = F.xxhash64("repo", "path", "commit")
+        null_s = "\x00<NULL>\x00"
+        doc_id = F.xxhash64(
+            F.coalesce("repo", F.lit(null_s)),
+            F.coalesce("path", F.lit(null_s)),
+            F.coalesce("commit", F.lit(null_s)))
     r = r.withColumn("doc_id", doc_id).withColumn(
         "bucket",
         F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_buckets)).cast("int"),

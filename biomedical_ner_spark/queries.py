@@ -683,18 +683,7 @@ def q_augmented_sentences(spark, sf_dir):
     synonym pick per position."""
     from .operators.augment import augment_sentences
 
-    t = _tags(spark, sf_dir)
-    sent = (
-        t.groupBy("doc_id")
-        .agg(F.array_sort(
-            F.collect_list(F.struct("pos", "token", "tag"))).alias("e"))
-        .select(
-            "doc_id",
-            F.expr("transform(e, x -> x.token)").alias("tokens"),
-            F.expr("transform(e, x -> x.tag)").alias("labels"),
-        )
-    )
-    aug = augment_sentences(sent, spark, n_copies=1)
+    aug = augment_sentences(_sentences(spark, sf_dir), spark, n_copies=1)
     return aug.select(
         "doc_id", "copy_idx",
         F.md5(F.array_join("tokens", "|")).alias("toks_fp"),

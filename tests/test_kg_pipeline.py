@@ -260,6 +260,19 @@ def test_wide_ids_json_framing_no_field_boundary_or_null_collisions(spark):
     ids = [r.doc_id for r in
            prepare_input(df, n_buckets=4, wide_ids=True).collect()]
     assert len(set(ids)) == len(rows), ids
+    # the default 64-bit branch must also keep NULL-position swaps
+    # distinct (Spark's xxhash64 skips null children, so unsentineled
+    # fields would make rows t4 and t6 collide) while non-NULL rows keep
+    # their historical hashes (sentinel only fills the null slot)
+    ids64 = [r.doc_id for r in
+             prepare_input(df, n_buckets=4, wide_ids=False).collect()]
+    assert len(set(ids64)) == len(rows), ids64
+    from pyspark.sql import functions as F
+
+    legacy = [r.h for r in df.where(
+        F.col("repo").isNotNull() & F.col("path").isNotNull()
+    ).select(F.xxhash64("repo", "path", "commit").alias("h")).collect()]
+    assert set(legacy) <= set(ids64)
 
 
 def test_synthesize_repos_sql_deterministic_and_pool_shaped(spark):
