@@ -281,6 +281,7 @@ def extract_mentions_arrow(
     id_col: str = "doc_id",
     sha_col: str | None = None,
     tagger=None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Fused tokenize->tag->span-merge in ONE mapInPandas stage.
 
@@ -295,11 +296,19 @@ def extract_mentions_arrow(
     runs ONE batched call per Arrow batch (how a real model wants to be
     fed) instead of the per-token lexicon rule; the BIO span-merge
     downstream is identical.
+
+    ``keep_cols``: per-doc metadata columns carried THROUGH the crossing
+    and replicated onto each mention row.  The alternative — joining the
+    mention stream back to a (doc_id, meta) projection — is a corpus-sized
+    shuffle join on BOTH sides (the meta side cannot broadcast: it is one
+    row per document); replicating ~100 B of meta per mention through
+    Arrow costs only serialization on an exchange-free narrow stage.
     """
     import pandas as pd
 
+    keep_cols = list(keep_cols or [])
     has_sha = sha_col is not None
-    cols = [id_col, text_col] + ([sha_col] if has_sha else [])
+    cols = [id_col, text_col] + ([sha_col] if has_sha else []) + keep_cols
     src = docs.select(*cols)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -307,10 +316,12 @@ def extract_mentions_arrow(
             out: dict[str, list] = {k: [] for k in (
                 "doc_id", "content_sha", "text", "type", "tag",
                 "individual_tags", "tokens", "start_position", "end_position",
+                *keep_cols,
             )}
             texts = pdf[text_col].tolist()
             ids = pdf[id_col].tolist()
             shas = pdf[sha_col].tolist() if has_sha else [None] * len(ids)
+            keeps = {k: pdf[k].tolist() for k in keep_cols}
             toks_list = [tokenize_text(raw or "")[:MAX_SEQ_LEN]
                          for raw in texts]
             if tagger is None:
@@ -319,7 +330,8 @@ def extract_mentions_arrow(
                 tag_lists = tagger.tag_batch(toks_list)
                 preds_list = [list(zip(t, g))
                               for t, g in zip(toks_list, tag_lists)]
-            for did, sha, preds in zip(ids, shas, preds_list):
+            for i, (did, sha, preds) in enumerate(
+                    zip(ids, shas, preds_list)):
                 ents = extract_entities(preds)
                 for e in ents:
                     out["doc_id"].append(did)
@@ -331,9 +343,14 @@ def extract_mentions_arrow(
                     out["tokens"].append(e["tokens"])
                     out["start_position"].append(e["start_position"])
                     out["end_position"].append(e["end_position"])
+                    for k in keep_cols:
+                        out[k].append(keeps[k][i])
             yield pd.DataFrame(out)
 
-    return src.mapInPandas(_extract, schema=_mention_schema(docs, id_col))
+    schema = _mention_schema(docs, id_col)
+    for c in keep_cols:
+        schema += f", {c} {docs.schema[c].dataType.simpleString()}"
+    return src.mapInPandas(_extract, schema=schema)
 
 
 # ---------------------------------------------------------------------------

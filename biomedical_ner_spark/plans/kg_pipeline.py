@@ -140,13 +140,14 @@ def run_kg_pipeline(
     if pending:
         part = src.where(F.col("bucket").isin(pending))
         if exact_parity:
+            # meta rides through the Arrow crossing (keep_cols) — the old
+            # join-back of the mention stream to a per-doc meta projection
+            # was a corpus-sized shuffle on both sides at scale
             m = spans.extract_mentions_arrow(
-                part, text_col="content", id_col="doc_id", sha_col="content_sha"
+                part, text_col="content", id_col="doc_id",
+                sha_col="content_sha",
+                keep_cols=["bucket", "repo", "path", "commit", "lang"],
             )
-            meta = part.select(
-                "doc_id", "bucket", "repo", "path", "commit", "lang"
-            )
-            m = m.join(meta, "doc_id")
         else:
             m = spans.mentions(part, text_col="content", keep_cols=keep)
         _dyn_overwrite(m, f"{out_dir}/mentions")
