@@ -1031,7 +1031,7 @@ def _neural_tokens(i: int) -> list[str]:
     ]
 
 
-def _neural_rows(ids, model, n_tags: int) -> list[tuple]:
+def _neural_rows(ids, emissions_fn, n_tags: int) -> list[tuple]:
     """Per-doc scalar fingerprints of the FULL-architecture numpy forward
     (core.neural.NumpyCombinatorialNER, mirroring models/models.py:75-193)
     over ONE batched emissions call for all of ``ids`` — shared by the
@@ -1043,7 +1043,7 @@ def _neural_rows(ids, model, n_tags: int) -> list[tuple]:
     import numpy as np
 
     batch = [_neural_tokens(int(i)) for i in ids]
-    em = model.emissions(batch, n_tags)  # [B, maxT, K]
+    em = emissions_fn(batch, n_tags)  # [B, maxT, K]
     rows = []
     for b, i in enumerate(ids):
         ln = len(batch[b])
@@ -1069,19 +1069,35 @@ def q_neural_emissions(spark, sf_dir):
     twin embeds per-sentence (batch-size-1) outputs of the SAME seeded
     numpy forward computed at SQL-build time: equality across the driver's
     two processes proves the distributed Arrow path is deterministic and
-    batch-shape invariant (per-batch padding + masking change nothing)."""
+    batch-shape invariant (per-batch padding + masking change nothing).
+
+    The executor-side model is NOT constructed directly: the seeded
+    weights are exported to a .npz checkpoint (S9 sink twin) on the
+    driver and every task reconstructs the model through
+    core.tagger.load_numpy_tagger (S5 checkpoint load + shape/key
+    validation) — so this row also driver-evidences the checkpoint
+    round-trip on the real executor path."""
     import pandas as pd
 
-    from .core.tagger import TAGSET
+    from .core.neural import NumpyCombinatorialNER
+    from .core.tagger import TAGSET, save_numpy_checkpoint
 
     K = len(TAGSET)
+    ckpt_dir = _scratch("neural_ckpt", sf_dir)
+    import os
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckpt = f"{ckpt_dir}/seeded.npz"
+    save_numpy_checkpoint(NumpyCombinatorialNER(n_tags=K, seed=7).w, ckpt)
 
     def _run(batches):
-        from .core.neural import NumpyCombinatorialNER
+        from .core.tagger import load_numpy_tagger
 
-        model = NumpyCombinatorialNER(n_tags=K, seed=7)
+        # S5 load path: .npz -> validated NumpyCombinatorialNER; the
+        # tagger's emissions_from_tokens IS model.emissions
+        emissions_fn = load_numpy_tagger(ckpt, seed=7).emissions_from_tokens
         for pdf in batches:
-            rows = _neural_rows(list(pdf["i"]), model, K)
+            rows = _neural_rows(list(pdf["i"]), emissions_fn, K)
             yield pd.DataFrame(
                 rows, columns=["seq_id", "seq_len", "emit_sum",
                                "emit_abs_sum", "argmax_fp"])
@@ -1102,7 +1118,7 @@ def _sql_neural_emissions() -> str:
     model = NumpyCombinatorialNER(n_tags=K, seed=7)
     rows = []
     for i in range(NEURAL_N_DOCS):  # batch of 1 per doc — see the query doc
-        rows += _neural_rows([i], model, K)
+        rows += _neural_rows([i], model.emissions, K)
     vals = ",\n    ".join(
         f"({i}, {ln}, {es!r}, {ea!r}, '{fp}')"
         for i, ln, es, ea, fp in rows
