@@ -1258,6 +1258,63 @@ def q_dedup_stream_batch(spark, sf_dir):
     )
 
 
+def q_kg_manifest(spark, sf_dir):
+    """S9/J10 driver-checked: the FULL resumable pipeline (3 bucketed
+    stages + manifest sink) over the repo-shaped projection of the
+    documents table, run TWICE — the second run must resume to a no-op
+    (every bucket already has its manifest row, so the J10 anti-join
+    leaves nothing pending and appends nothing).  Output: per-stage
+    manifest totals (buckets, rows in/out, sha invariant) + the
+    second-run row delta, all replayed by the DuckDB twin from the
+    documents table alone (mention totals via the span-merge window SQL,
+    relation totals as sum of per-doc mention-pair counts)."""
+    import shutil
+
+    from .plans import manifest as mf
+    from .plans.kg_pipeline import run_kg_pipeline
+
+    out = _scratch("kg_manifest", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    repos = repos_from_documents(_docs(spark, sf_dir))
+    run_kg_pipeline(spark, repos, out, n_buckets=4)
+    m1 = mf.read_manifest(spark, f"{out}/manifest").count()
+    run_kg_pipeline(spark, repos, out, n_buckets=4)  # resume: no-op
+    m2 = mf.read_manifest(spark, f"{out}/manifest").count()
+    man = mf.read_manifest(spark, f"{out}/manifest")
+    return (
+        man.groupBy("stage").agg(
+            F.count(F.lit(1)).cast("bigint").alias("buckets"),
+            F.sum("rows_in").alias("rows_in"),
+            F.sum("rows_out").alias("rows_out"),
+            F.min(F.col("sha_ok").cast("int")).alias("sha_ok_all"),
+        )
+        .withColumn("resume_new_rows", F.lit(m2 - m1).cast("bigint"))
+    )
+
+
+def _sql_kg_manifest() -> str:
+    return f"""
+WITH sp AS ({_SPANS_CTE}),
+mc AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sp),
+dc AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+pairs AS (
+  SELECT CAST(coalesce(sum((n_spans * (n_spans - 1)) // 2), 0) AS BIGINT)
+           AS p
+  FROM (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+)
+SELECT * FROM (
+  SELECT 'mentions' AS stage, CAST(4 AS BIGINT) AS buckets,
+         (SELECT d FROM dc) AS rows_in, (SELECT m FROM mc) AS rows_out,
+         CAST(1 AS INT) AS sha_ok_all, CAST(0 AS BIGINT) AS resume_new_rows
+  UNION ALL
+  SELECT 'linked', CAST(4 AS BIGINT), (SELECT m FROM mc),
+         (SELECT m FROM mc), CAST(1 AS INT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'graph', CAST(4 AS BIGINT), (SELECT m FROM mc),
+         (SELECT p FROM pairs), CAST(1 AS INT), CAST(0 AS BIGINT))
+"""
+
+
 def _sql_dedup_stream_batch() -> str:
     return """
 SELECT sha256(text) AS content_sha, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2402,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_counts": q_class_counts,
         "plausibility_filter": q_plausibility_filter,
         "dedup_stream_batch": q_dedup_stream_batch,
+        "kg_manifest": q_kg_manifest,
         # one green round (new in r3)
         "subword_vectors": q_subword_vectors,
         "vocab_sink": q_vocab_sink,
@@ -2524,4 +2582,5 @@ def oracle_sql() -> dict[str, str]:
         "class_counts": _sql_class_counts(),
         "plausibility_filter": _sql_plausibility_filter(),
         "dedup_stream_batch": _sql_dedup_stream_batch(),
+        "kg_manifest": _sql_kg_manifest(),
     }
