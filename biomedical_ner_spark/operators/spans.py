@@ -307,6 +307,15 @@ def extract_mentions_arrow(
     import pandas as pd
 
     keep_cols = list(keep_cols or [])
+    base_cols = {"doc_id", "content_sha", "text", "type", "tag",
+                 "individual_tags", "tokens", "start_position",
+                 "end_position"}
+    clash = sorted(base_cols.intersection(keep_cols))
+    if clash:
+        raise ValueError(
+            f"keep_cols {clash} collide with the mention output columns "
+            f"{sorted(base_cols)}; rename them upstream (doc_id/content_sha "
+            "already flow through id_col/sha_col)")
     has_sha = sha_col is not None
     cols = [id_col, text_col] + ([sha_col] if has_sha else []) + keep_cols
     src = docs.select(*cols)

@@ -154,7 +154,10 @@ def run_kg_pipeline(
         written = spark.read.parquet(f"{out_dir}/mentions").where(
             F.col("bucket").isin(pending)
         )
-        in_c = _counts_by_bucket(part)
+        # seed zero rows for every pending bucket: a bucket with no docs
+        # (or no rows at a later stage) must still get its manifest row,
+        # else it stays "pending" forever and every resume reprocesses it
+        in_c = {b: 0 for b in pending} | _counts_by_bucket(part)
         out_c = _counts_by_bucket(written)
         # sha invariant: every mention's content_sha must exist in the input
         bad = (
@@ -181,7 +184,7 @@ def run_kg_pipeline(
         part = mentions_df.where(F.col("bucket").isin(pending))
         linked = link_mentions(part, spark, text_col="text")
         _dyn_overwrite(linked, f"{out_dir}/linked")
-        in_c = _counts_by_bucket(part)
+        in_c = {b: 0 for b in pending} | _counts_by_bucket(part)
         out_c = _counts_by_bucket(
             spark.read.parquet(f"{out_dir}/linked").where(
                 F.col("bucket").isin(pending))
@@ -272,7 +275,8 @@ def run_kg_pipeline(
             )
         )
         _dyn_overwrite(rel, f"{out_dir}/relations")
-        in_c = _counts_by_bucket(linked_df.where(F.col("bucket").isin(pending)))
+        in_c = {b: 0 for b in pending} | _counts_by_bucket(
+            linked_df.where(F.col("bucket").isin(pending)))
         rel_written = spark.read.parquet(f"{out_dir}/relations").where(
             F.col("bucket").isin(pending)
         )

@@ -1085,17 +1085,25 @@ def q_neural_emissions(spark, sf_dir):
     K = len(TAGSET)
     ckpt_dir = _scratch("neural_ckpt", sf_dir)
     import os
+    import uuid
 
     os.makedirs(ckpt_dir, exist_ok=True)
-    ckpt = f"{ckpt_dir}/seeded.npz"
+    ckpt_name = f"seeded_{uuid.uuid4().hex[:8]}.npz"
+    ckpt = f"{ckpt_dir}/{ckpt_name}"
     save_numpy_checkpoint(NumpyCombinatorialNER(n_tags=K, seed=7).w, ckpt)
+    # ship the archive to executors (SparkFiles) — a driver-local path
+    # only resolves under a local master
+    spark.sparkContext.addFile(ckpt)
 
     def _run(batches):
+        from pyspark import SparkFiles
+
         from .core.tagger import load_numpy_tagger
 
         # S5 load path: .npz -> validated NumpyCombinatorialNER; the
         # tagger's emissions_from_tokens IS model.emissions
-        emissions_fn = load_numpy_tagger(ckpt, seed=7).emissions_from_tokens
+        emissions_fn = load_numpy_tagger(
+            SparkFiles.get(ckpt_name), seed=7).emissions_from_tokens
         for pdf in batches:
             rows = _neural_rows(list(pdf["i"]), emissions_fn, K)
             yield pd.DataFrame(

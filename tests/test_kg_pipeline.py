@@ -296,3 +296,23 @@ def test_synthesize_repos_sql_deterministic_and_pool_shaped(spark):
         sents = content.split(". ")
         assert 2 <= len(sents) <= 6
         assert all(s in pool for s in sents), sents
+
+
+def test_empty_buckets_get_manifest_rows_and_resume_noop(spark, tmp_path_factory):
+    """A bucket with no documents (or no rows at a later stage) must still
+    receive its manifest row — otherwise it stays 'pending' forever and
+    every resume reprocesses it.  3 docs over 8 buckets guarantees empty
+    buckets; both runs must agree and the second must append nothing."""
+    import biomedical_ner_spark.plans.manifest as mf
+    from biomedical_ner_spark.plans.kg_pipeline import run_kg_pipeline
+
+    out = str(tmp_path_factory.mktemp("kg_empty_buckets"))
+    repos = synthesize_repos(spark, n_files=3, seed=11)
+    run_kg_pipeline(spark, repos, out, n_buckets=8)
+    man = mf.read_manifest(spark, f"{out}/manifest")
+    per_stage = {r.stage: r.n for r in man.groupBy("stage").count()
+                 .withColumnRenamed("count", "n").collect()}
+    assert per_stage == {"mentions": 8, "linked": 8, "graph": 8}, per_stage
+    n1 = man.count()
+    run_kg_pipeline(spark, repos, out, n_buckets=8)
+    assert mf.read_manifest(spark, f"{out}/manifest").count() == n1
