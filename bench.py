@@ -171,7 +171,9 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         "trials_best_of": TRIALS,
-        "input_layout": f"{max(2 * CPUS, 32)}-file copy (scan-parallel)",
+        "input_layout": (
+            f"per-table split: documents {max(2 * CPUS, 32)} files,"
+            " events >=25k rows/file, embeddings >=250 rows/file"),
         # host-speed calibration bracketing the run: this host's reference
         # for the same burn is ~1.6 s at full speed and >6 s when throttled
         # (BASELINE.md); divide walls by (burn/1.6) to compare across runs
