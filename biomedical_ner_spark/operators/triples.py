@@ -73,29 +73,43 @@ def triples(docs_with_tokens: DataFrame, mentions_df: DataFrame,
     """(subj, pred, obj) rows: co-occurrence pairs + nearest-verb predicate.
 
     ``docs_with_tokens`` must carry scope cols + a `tokens` ARRAY<STRING>
-    column (from spans.doc_tokens); the predicate verb is found by scanning
-    tokens strictly between subj_end and obj_start — done array-side with a
-    single broadcast-friendly join back to the doc row (the doc side is the
-    *same* scan, so Catalyst reuses the exchange).
-    """
+    column (from spans.doc_tokens); the predicate is the verb-pool token
+    nearest the subject strictly between subj_end and obj_start.
+
+    The verb scan is hoisted to the DOC side: one pass per document
+    extracts the (pos, predicate) list of verb-pool hits (a near-empty
+    array for normal text), and each pair evaluates only a filter over
+    that tiny array.  Measured at 1M docs / 38.9M pairs (same session,
+    warm shuffles) the two formulations' compute is equal (~3 s) — the
+    interpreted-HOF work over the small token gap was never the
+    bottleneck — but the hoist shrinks the pairs-join payload from the
+    full 100-token array per pair row to the verb list (typically 0-3
+    structs), which is what the join exchange and downstream projection
+    actually carry, and its per-pair cost is bounded by verb density
+    rather than gap width (a pair spanning a long gap no longer scans
+    it)."""
     scope_cols = scope_cols or ["doc_id"]
     pairs = cooc_pairs(mentions_df, scope_cols)
-    toks = docs_with_tokens.select(*scope_cols, "tokens")
-    j = pairs.join(toks, scope_cols)
-    # tokens strictly between the spans, first verb-pool hit nearest subject
     verb_map_pairs = ", ".join(
         f"'{v}', '{p}'" for v, p in sorted(VERB_POOL.items())
     )
+    verbs = docs_with_tokens.select(
+        *scope_cols,
+        F.expr(
+            f"""filter(
+              transform(tokens, (t, i) -> named_struct(
+                'pos', i, 'p', element_at(map({verb_map_pairs}), lower(t)))),
+              v -> v.p IS NOT NULL)"""
+        ).alias("_verbs"),
+    )
+    j = pairs.join(verbs, scope_cols)
+    # first (= nearest-subject) verb strictly between the spans
     j = j.withColumn(
         "pred",
         F.expr(
-            f"""coalesce(
-              element_at(map({verb_map_pairs}),
-                get(filter(
-                  transform(slice(tokens, subj_end + 2,
-                                  greatest(obj_start - subj_end - 1, 0)),
-                            t -> lower(t)),
-                  t -> element_at(map({verb_map_pairs}), t) IS NOT NULL), 0)),
+            """coalesce(
+              get(filter(_verbs,
+                         v -> v.pos > subj_end AND v.pos < obj_start), 0).p,
               'co_occurs_with')"""
         ),
     )
