@@ -301,7 +301,15 @@ def oversize_buckets(docs: DataFrame, text_col: str = "text", n: int = 3,
     """Audit companion to lsh_candidate_pairs' cap: (band, bucket, n_docs)
     for every bucket the default cap would shed — a cheap aggregate to run
     (or sink to a side table) when capped recall needs accounting, instead
-    of silently reading 'covered everything'."""
+    of silently reading 'covered everything'.
+
+    Boundary case: _bounded_groups enforces the cap per content-derived
+    shard, so an oversize bucket whose shards ALL exceed the cap vanishes
+    entirely, but a boundary shard that individually fits can survive and
+    emit a small residual subset of the shed bucket.  A bucket listed here
+    is therefore 'shed' in the sense that its recall is ~0, not that zero
+    pairs from it can appear — the audit slightly overstates the shed set
+    in that rare case."""
     banded = _lsh_banded(docs, text_col, n, n_bands, rows_per_band)
     return (
         banded.groupBy("band", "bucket")
@@ -356,9 +364,12 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on
     (max_hamming + 1)-way bit-block equality — the pigeonhole guarantees
-    a pair within max_hamming shares at least one untouched block, so
-    recall is exact for ANY max_hamming (the block count is derived from
-    it, never silently under-provisioned) and no cross join exists.
+    a pair within max_hamming shares at least one untouched block (the
+    block count is derived from max_hamming, never silently
+    under-provisioned) and no cross join exists.  Recall is exact for ANY
+    max_hamming only under max_bucket=None (the oracle configuration);
+    the finite default below sheds degenerate blocks, trading recall on
+    pathological keys for bounded task memory.
 
     ``max_bucket``: same degenerate-block cap as lsh_candidate_pairs
     (finite by default — one hot bit-block key must not expand k^2/2 pair

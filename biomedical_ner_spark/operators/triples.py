@@ -20,18 +20,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..core.oracle import MAX_SEQ_LEN
 from ..lexicon import VERB_POOL, verb_pred_case_sql
+
+# Finite quadratic-fanout guard, derived from the inference truncation
+# limit: a doc tokenized at <= MAX_SEQ_LEN tokens cannot carry more than
+# MAX_SEQ_LEN mentions (spans are non-overlapping, >= 1 token each), so
+# this default NEVER binds on the reference extraction paths — outputs are
+# unchanged — while a future long-sequence configuration (no truncation)
+# is capped at MAX_SEQ_LEN*(MAX_SEQ_LEN-1)/2 pairs per scope instead of
+# silently reopening O(n^2) fanout.  The bucket-cap philosophy (dedup.py
+# DEFAULT_MAX_BUCKET): finite by default on scale paths, oracle configs
+# opt out with an explicit None.
+DEFAULT_MAX_MENTIONS_PER_SCOPE = MAX_SEQ_LEN
 
 
 def cooc_pairs(mentions_df: DataFrame, scope_cols: list[str] | None = None,
                max_span_gap: int | None = None,
-               max_mentions_per_scope: int | None = None) -> DataFrame:
+               max_mentions_per_scope: int | None =
+               DEFAULT_MAX_MENTIONS_PER_SCOPE) -> DataFrame:
     """Ordered mention pairs within a scope: subj.start < obj.start
     (SURVEY.md J8).  Equi-join on the scope key + theta residual.
 
-    ``max_mentions_per_scope``: optional quadratic-fanout guard — keeps the
+    ``max_mentions_per_scope``: quadratic-fanout guard — keeps the
     first N mentions per scope (by start_position, end_position) so a
-    mega-document contributes at most N*(N-1)/2 pairs."""
+    mega-document contributes at most N*(N-1)/2 pairs.  The per-scope
+    row_number window costs no extra exchange here: it partitions on the
+    same scope key the self-join shuffles on, and its sort order is a
+    superset of the join's, so the join reuses both.  None = uncapped
+    (exact/oracle configuration)."""
     scope_cols = scope_cols or ["doc_id"]
     if max_mentions_per_scope is not None:
         w = Window.partitionBy(*scope_cols).orderBy(
@@ -69,7 +86,9 @@ def cooc_pairs(mentions_df: DataFrame, scope_cols: list[str] | None = None,
 
 
 def triples(docs_with_tokens: DataFrame, mentions_df: DataFrame,
-            scope_cols: list[str] | None = None) -> DataFrame:
+            scope_cols: list[str] | None = None,
+            max_mentions_per_scope: int | None =
+            DEFAULT_MAX_MENTIONS_PER_SCOPE) -> DataFrame:
     """(subj, pred, obj) rows: co-occurrence pairs + nearest-verb predicate.
 
     ``docs_with_tokens`` must carry scope cols + a `tokens` ARRAY<STRING>
@@ -89,7 +108,8 @@ def triples(docs_with_tokens: DataFrame, mentions_df: DataFrame,
     rather than gap width (a pair spanning a long gap no longer scans
     it)."""
     scope_cols = scope_cols or ["doc_id"]
-    pairs = cooc_pairs(mentions_df, scope_cols)
+    pairs = cooc_pairs(mentions_df, scope_cols,
+                       max_mentions_per_scope=max_mentions_per_scope)
     verb_map_pairs = ", ".join(
         f"'{v}', '{p}'" for v, p in sorted(VERB_POOL.items())
     )

@@ -35,7 +35,9 @@ from . import manifest as mf
 STAGES = ("mentions", "linked", "graph")
 
 
-def _dyn_overwrite(df: DataFrame, path: str) -> None:
+def _dyn_overwrite(df: DataFrame, path: str,
+                   files_per_bucket: int = 1,
+                   n_buckets: int | None = None) -> None:
     (
         df.sparkSession.conf
         .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -44,11 +46,30 @@ def _dyn_overwrite(df: DataFrame, path: str) -> None:
     # 128-partition upstream writes up to 128 files into EVERY bucket dir
     # (2048 tiny files, 4x the bytes from lost row-group clustering, and
     # every downstream stage pays the open/footer cost; measured 97s -> 35s
-    # on the 20k-file stress). One file per bucket is correct here because
-    # n_buckets is the resume granularity; at petabyte scale raise
-    # n_buckets, not files-per-bucket.
-    df.repartition(F.col("bucket")).write.mode("overwrite") \
-        .partitionBy("bucket").parquet(path)
+    # on the 20k-file stress).
+    #
+    # files_per_bucket=1 (default): one file per bucket — n_buckets is the
+    # resume granularity AND the write parallelism.  At scale the big
+    # relations stream makes that cap the dominant wall (the 1M-file run
+    # spends ~55% of stage-3 in this exchange+write), so files_per_bucket>1
+    # adds a doc-derived sub-bucket to the clustering key: write
+    # parallelism becomes ~n_buckets x files_per_bucket while resume
+    # granularity (the bucket dir) and row content are untouched.  The
+    # sub-bucket is xxhash64(doc_id)-derived — content-stable, so retries
+    # land rows in the same task and dynamic overwrite stays idempotent
+    # per bucket.  The partition count is EXPLICIT (n_buckets x
+    # files_per_bucket): an expression-only repartition lets AQE coalesce
+    # the shuffle read back down when partitions are small, silently
+    # undoing the sharding.
+    if files_per_bucket > 1 and n_buckets is not None:
+        clustered = df.repartition(
+            n_buckets * files_per_bucket,
+            F.col("bucket"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(files_per_bucket)),
+        )
+    else:
+        clustered = df.repartition(F.col("bucket"))
+    clustered.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
 def _counts_by_bucket(df: DataFrame) -> dict[int, int]:
@@ -115,6 +136,7 @@ def run_kg_pipeline(
     resume: bool = True,
     exact_parity: bool = True,
     wide_ids: bool = False,
+    files_per_bucket: int | str = 1,
 ) -> dict:
     """Run (or resume) the full pipeline; returns summary counters.
 
@@ -123,7 +145,18 @@ def run_kg_pipeline(
     window path (identical output on ASCII corpora, higher throughput).
     wide_ids=True uses 128-bit doc ids (see prepare_input — the 10^12-file
     collision guard).
+    files_per_bucket: write-parallelism multiplier for the bucketed sinks
+    (see _dyn_overwrite) — 1 keeps the one-file-per-bucket layout;
+    "auto" sizes it so write tasks ~= 2x the cluster's default
+    parallelism, the scale configuration for corpus-sized runs where the
+    relations exchange+write dominates stage-3 wall.  Row content is
+    identical under every setting.
     """
+    if files_per_bucket == "auto":
+        fpb = max(
+            1, 2 * spark.sparkContext.defaultParallelism // n_buckets)
+    else:
+        fpb = int(files_per_bucket)
     manifest_path = f"{out_dir}/manifest"
     src = prepare_input(repos, n_buckets, wide_ids=wide_ids).persist()
     keep = ["doc_id", "bucket", "repo", "path", "commit", "lang", "content_sha"]
@@ -150,7 +183,8 @@ def run_kg_pipeline(
             )
         else:
             m = spans.mentions(part, text_col="content", keep_cols=keep)
-        _dyn_overwrite(m, f"{out_dir}/mentions")
+        _dyn_overwrite(m, f"{out_dir}/mentions", files_per_bucket=fpb,
+                       n_buckets=n_buckets)
         written = spark.read.parquet(f"{out_dir}/mentions").where(
             F.col("bucket").isin(pending)
         )
@@ -183,7 +217,8 @@ def run_kg_pipeline(
     if pending:
         part = mentions_df.where(F.col("bucket").isin(pending))
         linked = link_mentions(part, spark, text_col="text")
-        _dyn_overwrite(linked, f"{out_dir}/linked")
+        _dyn_overwrite(linked, f"{out_dir}/linked",
+                       files_per_bucket=fpb, n_buckets=n_buckets)
         in_c = {b: 0 for b in pending} | _counts_by_bucket(part)
         out_c = _counts_by_bucket(
             spark.read.parquet(f"{out_dir}/linked").where(
@@ -274,7 +309,8 @@ def run_kg_pipeline(
                 "subj_type", "obj_type", "doc_id", "content_sha", "bucket",
             )
         )
-        _dyn_overwrite(rel, f"{out_dir}/relations")
+        _dyn_overwrite(rel, f"{out_dir}/relations",
+                       files_per_bucket=fpb, n_buckets=n_buckets)
         in_c = {b: 0 for b in pending} | _counts_by_bucket(
             linked_df.where(F.col("bucket").isin(pending)))
         rel_written = spark.read.parquet(f"{out_dir}/relations").where(

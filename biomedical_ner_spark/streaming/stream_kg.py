@@ -19,17 +19,22 @@ from ..sources.repos import REPO_SCHEMA, with_content_sha
 
 def stream_mentions(spark: SparkSession, input_dir: str,
                     checkpoint_dir: str, out_dir: str,
-                    trigger_once: bool = True):
+                    trigger_once: bool = True,
+                    max_files_per_trigger: int | None = None):
     """File-source stream of repo-shaped parquet -> mentions sink.
 
     Extraction is the same narrow window-free stage used in batch
     (doc_tags + span fold are per-row; the per-doc window/groupBy of the
     default batch path is replaced by the fold form because streaming
-    aggregations would otherwise need an update-mode sink)."""
-    src = (
-        spark.readStream.schema(REPO_SCHEMA)
-        .parquet(input_dir)
-    )
+    aggregations would otherwise need an update-mode sink).
+
+    ``max_files_per_trigger`` bounds each microbatch to N source files —
+    with availableNow this drains the backlog in multiple real
+    microbatches instead of one."""
+    reader = spark.readStream.schema(REPO_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
     src = with_content_sha(src).withColumn(
         "doc_id", F.xxhash64("repo", "path", "commit")
     )

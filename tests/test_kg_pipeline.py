@@ -316,3 +316,42 @@ def test_empty_buckets_get_manifest_rows_and_resume_noop(spark, tmp_path_factory
     n1 = man.count()
     run_kg_pipeline(spark, repos, out, n_buckets=8)
     assert mf.read_manifest(spark, f"{out}/manifest").count() == n1
+
+
+def test_files_per_bucket_sharding_identical_output(spark, repos,
+                                                    tmp_path_factory):
+    """The write-parallelism knob (_dyn_overwrite files_per_bucket) must
+    change ONLY the file layout: row content of every stage table is
+    identical, bucket dirs (the resume granularity) are unchanged, and
+    the relations buckets actually split into multiple files."""
+    import glob
+
+    out1 = str(tmp_path_factory.mktemp("kg_fpb1"))
+    out3 = str(tmp_path_factory.mktemp("kg_fpb3"))
+    run_kg_pipeline(spark, repos, out1, run_id="f", n_buckets=4)
+    run_kg_pipeline(spark, repos, out3, run_id="f", n_buckets=4,
+                    files_per_bucket=3)
+
+    for table in ("mentions", "linked", "relations", "entities"):
+        a = spark.read.parquet(f"{out1}/{table}")
+        b = spark.read.parquet(f"{out3}/{table}")
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    # layout: same bucket dirs, more files inside at least one bucket
+    def bucket_dirs(base):
+        return sorted(
+            d.rsplit("/", 1)[-1]
+            for d in glob.glob(f"{base}/relations/bucket=*"))
+
+    assert bucket_dirs(out1) == bucket_dirs(out3)
+    n1 = len(glob.glob(f"{out1}/relations/bucket=*/*.parquet"))
+    n3 = len(glob.glob(f"{out3}/relations/bucket=*/*.parquet"))
+    assert n3 > n1
+
+    # "auto" resolves to a valid multiplier and still resumes to a no-op
+    s1 = run_kg_pipeline(spark, repos, out3, run_id="f", n_buckets=4,
+                         files_per_bucket="auto")
+    assert s1["stages"]["relations"] == \
+        spark.read.parquet(f"{out1}/relations").count()

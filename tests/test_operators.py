@@ -595,3 +595,39 @@ def test_lsh_default_cap_is_finite_and_audited(spark):
     sim_capped = {(r.a, r.b)
                   for r in dedup.simhash_near_pairs(df).collect()}
     assert sim_capped == {(k + 1, k + 2)}
+
+
+def test_cooc_default_mention_cap(spark):
+    """Default-path fanout guard (triples.DEFAULT_MAX_MENTIONS_PER_SCOPE):
+    a synthetic mega-doc with more mentions than MAX_SEQ_LEN is capped to
+    the first N by start position under the DEFAULT call — so a
+    long-sequence configuration cannot silently reopen O(n^2) pair
+    fanout — while a normal doc and the explicit None opt-out are
+    untouched.  The cap can never bind on truncated input (mentions/doc
+    <= MAX_SEQ_LEN by construction)."""
+    from biomedical_ner_spark.operators.triples import (
+        DEFAULT_MAX_MENTIONS_PER_SCOPE, cooc_pairs)
+
+    cap = DEFAULT_MAX_MENTIONS_PER_SCOPE
+    n_mega = cap + 150
+    rows = [(1, f"m{i}", "DISEASE", i * 3, i * 3 + 1)
+            for i in range(n_mega)]
+    rows += [(2, f"s{i}", "CHEMICAL", i * 5, i * 5 + 1) for i in range(3)]
+    m = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, type STRING,"
+        " start_position INT, end_position INT",
+    )
+    got = cooc_pairs(m)
+    per_doc = {r.doc_id: r.n for r in got.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_doc[1] == cap * (cap - 1) // 2
+    assert per_doc[2] == 3
+    # capped set = pairs over the FIRST `cap` mentions by start position
+    max_start = {r[0] for r in got.where("doc_id = 1")
+                 .agg(F.max("obj_start")).collect()}
+    assert max_start == {(cap - 1) * 3}
+    # explicit opt-out reproduces the exact quadratic set
+    n_exact = cooc_pairs(m, max_mentions_per_scope=None) \
+        .where("doc_id = 1").count()
+    assert n_exact == n_mega * (n_mega - 1) // 2
