@@ -125,8 +125,17 @@ def main() -> None:
     t, n = timed(lambda: spans.mentions(docs).count())
     timings["mentions"], counts["mentions"] = t, n
 
+    # Arrow stages want fat tasks (>= ~0.5 s of work each; ~50 ms setup
+    # per task), NOT the 4x-cores split the JVM window/persist stages
+    # want — timing mentions_arrow off the shared 128-partition frame
+    # oversplit it to ~39 docs/task and read as a 2x regression in r4
+    # (same-session A/B, scripts/ab_mentions_arrow.py: best 1.16 s @128
+    # vs 0.50 s @32 partitions at equal burn).  ~150 docs/task.
+    docs_arrow = docs.repartition(
+        max(1, min(n_docs // 150, 4 * CPUS))).persist()
+    docs_arrow.count()
     t, n = timed(lambda: spans.extract_mentions_arrow(
-        docs, text_col="text", id_col="doc_id").count())
+        docs_arrow, text_col="text", id_col="doc_id").count())
     timings["mentions_arrow"], counts["mentions_arrow"] = t, n
 
     mentions_df = spans.mentions(docs).persist()
@@ -173,7 +182,8 @@ def main() -> None:
         "trials_best_of": TRIALS,
         "input_layout": (
             f"per-table split: documents {max(2 * CPUS, 32)} files,"
-            " events >=25k rows/file, embeddings >=250 rows/file"),
+            " events >=25k rows/file, embeddings >=250 rows/file;"
+            " arrow stage ~150 docs/task"),
         # host-speed calibration bracketing the run: this host's reference
         # for the same burn is ~1.6 s at full speed and >6 s when throttled
         # (BASELINE.md); divide walls by (burn/1.6) to compare across runs
