@@ -136,7 +136,7 @@ def run_kg_pipeline(
     resume: bool = True,
     exact_parity: bool = True,
     wide_ids: bool = False,
-    files_per_bucket: int | str = 1,
+    files_per_bucket: int | str = "auto",
 ) -> dict:
     """Run (or resume) the full pipeline; returns summary counters.
 
@@ -147,14 +147,17 @@ def run_kg_pipeline(
     collision guard).
     files_per_bucket: write-parallelism multiplier for the bucketed sinks
     (see _dyn_overwrite) — 1 keeps the one-file-per-bucket layout;
-    "auto" sizes it so write tasks ~= 2x the cluster's default
-    parallelism, the scale configuration for corpus-sized runs where the
-    relations exchange+write dominates stage-3 wall.  Row content is
-    identical under every setting.
+    "auto" (the default) sizes it so write tasks ~= 4x the cluster's
+    default parallelism, the repo's JVM-stage partitioning rule.  The
+    isolated 38.9M-row write A/B (scripts/ab_relations_write.py, 1M
+    files) showed the one-file-per-bucket write is straggler-bound at
+    n_buckets tasks: 17.6-43 s at 32 tasks vs 7.6-8.6 s at 128 on the
+    same input and burns — task granularity, not IO bandwidth, is the
+    cap.  Row content is identical under every setting.
     """
     if files_per_bucket == "auto":
         fpb = max(
-            1, 2 * spark.sparkContext.defaultParallelism // n_buckets)
+            1, 4 * spark.sparkContext.defaultParallelism // n_buckets)
     else:
         fpb = int(files_per_bucket)
     manifest_path = f"{out_dir}/manifest"

@@ -56,6 +56,15 @@ def get_spark(
         # the right default for batch-throughput work either way
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # a multi-GB old-gen collection under ParallelGC can stall the
+        # heartbeat thread past the 120 s default; in local mode a missed
+        # heartbeat is FATAL (BlockManager re-registration looks up the
+        # CoarseGrainedScheduler endpoint, which only exists on a cluster,
+        # so the executor can never rejoin and exits after 60 strikes) —
+        # give big-heap batch runs the same slack a production cluster
+        # config would
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "30s")
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)

@@ -59,7 +59,11 @@ def main() -> None:
                  .repartition(max(2 * args.cpus, 32)))
         run_kg_pipeline(spark, repos, f"{args.workdir}/pipe",
                         n_buckets=args.buckets, resume=False)
-        rel = spark.read.parquet(f"{args.workdir}/pipe/relations").persist()
+        # no in-heap persist: 38.9M rows of old-gen under ParallelGC caused
+        # a >120 s full-GC pause that expired the heartbeat (fatal in local
+        # mode).  Both variants re-scan the same tmpfs parquet, so the scan
+        # cost cancels out of the A/B.
+        rel = spark.read.parquet(f"{args.workdir}/pipe/relations")
         n_rel = rel.count()
 
         # warm both write shapes (codegen + committers)

@@ -328,7 +328,8 @@ def test_files_per_bucket_sharding_identical_output(spark, repos,
 
     out1 = str(tmp_path_factory.mktemp("kg_fpb1"))
     out3 = str(tmp_path_factory.mktemp("kg_fpb3"))
-    run_kg_pipeline(spark, repos, out1, run_id="f", n_buckets=4)
+    run_kg_pipeline(spark, repos, out1, run_id="f", n_buckets=4,
+                    files_per_bucket=1)
     run_kg_pipeline(spark, repos, out3, run_id="f", n_buckets=4,
                     files_per_bucket=3)
 
