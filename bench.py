@@ -51,6 +51,27 @@ def _burn() -> float:
     return time.time() - t0
 
 
+def _burn_parallel(procs: int = CPUS) -> float:
+    """Parallel-phase calibration: efficiency of `procs` concurrent copies
+    of the canonical burn (1.0 = the host grants full parallelism).  The
+    1-proc burn alone does NOT capture host health here — a round-5 bench
+    measured 42.7 s vs the 19.81 s record at EQUAL 1-proc burns while
+    this probe read 0.56-0.67.  Embedded in the artifact so per-run walls
+    can be judged against the host's actual parallel capacity."""
+    import multiprocessing as mp
+
+    b1 = _burn()
+    with mp.Pool(procs) as pool:
+        t0 = time.time()
+        pool.map(_burn_child, range(procs))
+        wall = time.time() - t0
+    return b1 / wall
+
+
+def _burn_child(_i: int) -> float:
+    return _burn()
+
+
 def timed(fn, trials: int = TRIALS):
     """Best-of-N wall (the sandbox host's clock speed drifts >2x between
     minutes; min over trials is the least-noisy point estimate)."""
@@ -189,6 +210,7 @@ def main() -> None:
         # (BASELINE.md); divide walls by (burn/1.6) to compare across runs
         "burn_1proc_sec_before": round(burn_before, 2),
         "burn_1proc_sec_after": round(_burn(), 2),
+        "burn_parallel_eff": round(_burn_parallel(), 2),
     }
     print(json.dumps(out))
     spark.stop()
