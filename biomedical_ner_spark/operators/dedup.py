@@ -92,11 +92,49 @@ def _bounded_groups(df: DataFrame, group_cols: list[str], item,
     )
 
 
+def _shingle_arrays(df: DataFrame, text_col: str = "text",
+                    n: int = 3) -> DataFrame:
+    """(doc_id, shs) — per-doc ARRAY of distinct lowercased token n-grams.
+
+    Token shingling via array ops (narrow); `sequence` + `slice` builds the
+    n-gram windows JVM-side without any UDF.  Kept as the un-exploded form
+    so callers needing per-doc shingle-set sizes read them as size(shs)
+    with ZERO extra passes/shuffles (ngram_jaccard_pairs).
+
+    Structure note (r06): the size() FILTER between the two projections
+    is load-bearing — it blocks CollapseProject from inlining `toks` into
+    the shingle transform.  A CASE-guard variant (empty array instead of
+    the filter) let the optimizer substitute the regexp_extract_all into
+    every reference INCLUDING the per-element slice() lambda, re-running
+    the tokenize regex once per sequence element (~30x measured at sf1.0:
+    minhash 4.1 s -> 127 s).  The filter's own size(regex) evaluation
+    costs one extra regex pass per row and is the cheap side of that
+    trade."""
+    toks = F.expr(
+        f"transform(regexp_extract_all(lower({text_col}),"
+        f" '{SQL_TOKEN_PATTERN}', 0), t -> t)"
+    )
+    d = df.select("doc_id", toks.alias("toks"))
+    d = d.where(F.size("toks") >= n)
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(toks) - {n}),"
+            f" i -> concat_ws(' ', slice(toks, i + 1, {n}))))"
+        ).alias("shs"),
+    )
+
+
 def _shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct lowercased token n-grams per doc.
 
-    Token shingling via array ops (narrow); `sequence` + `slice` builds the
-    n-gram windows JVM-side without any UDF."""
+    The generator argument is the FULL inline expression, never a named
+    array column: exploding an attribute lets InferFiltersFromGenerate
+    add `size(col) > 0`, and predicate pushdown then substitutes the
+    whole shingle construction — tokenize regex inside the per-element
+    slice() lambda included — into a scan-level filter (measured ~30x on
+    minhash at sf1.0).  A non-cheap generator expression is skipped by
+    that rule (SPARK-36715)."""
     toks = F.expr(
         f"transform(regexp_extract_all(lower({text_col}),"
         f" '{SQL_TOKEN_PATTERN}', 0), t -> t)"
@@ -145,45 +183,71 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
     scores stay exact for every surviving pair; only recall of pairs whose
     overlap is exclusively stop-shingles is affected.  Default None =
     exact (the DuckDB-oracle configuration)."""
-    sh = _shingles(docs, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    # (doc_id, sz, shingle) in ONE construction per side: sizes are read
+    # array-side (size(shs), O(1) per exploded row), so no separate sizes
+    # aggregate and no sizes joins — the r5 shape evaluated the whole
+    # tokenize->shingle lineage FOUR times (two join sides + two sizes
+    # legs).  The explode goes through an identity transform, NOT the
+    # bare `shs` attribute: a HOF generator is skipped by
+    # InferFiltersFromGenerate (SPARK-36715), so no size(shs)>0 predicate
+    # gets pushed down and alias-substituted into a scan filter re-running
+    # the shingle construction (the bare-attribute form measured ~6x
+    # slower here).
+    sh = _shingle_arrays(docs, text_col, n).select(
+        "doc_id", F.size("shs").alias("sz"),
+        F.explode(F.expr("transform(shs, s -> s)")).alias("shingle"))
     if max_df is None:
+        # inverted-index self-join (whole-stage-codegen pair stream), NOT
+        # a groupBy(shingle) + in-bucket combination expand: the pair
+        # stream here is ~50x the shingle stream (sum of df^2/2; 127M at
+        # sf1.0) and the expand's nested-transform lambdas are
+        # interpreted per pair struct — measured same-session r06 A/B
+        # (scripts/ab_ngram.py): group-expand 36.5 s vs self-join-with-
+        # sizes 24.1 s vs r5 4-evaluation shape 25.8 s.  The size-ratio
+        # prefilter is EXACT: jaccard <= min(sz)/max(sz), so pairs with
+        # min < t*max can never pass the threshold and their instances
+        # are dropped before the aggregation (best 23.8 s).
+        a = sh.select(F.col("doc_id").alias("a"),
+                      F.col("sz").alias("sz_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("b"),
+                      F.col("sz").alias("sz_b"), "shingle")
         common = (
             a.join(b, "shingle")
-            .where(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
+            .where((F.col("a") < F.col("b"))
+                   & (F.least("sz_a", "sz_b")
+                      >= F.greatest("sz_a", "sz_b") * F.lit(threshold)))
+            .groupBy("a", "b", "sz_a", "sz_b")
             .agg(F.count(F.lit(1)).alias("common"))
         )
     else:
-        # candidates from sub-cap shingles only (bounds the inverted-index
-        # fanout), then the EXACT intersection recomputed over full sets
-        # for just those pairs
-        keep = (
-            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_df).select("shingle")
+        posting = F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
+        _pair_expand = (
+            "flatten(transform(ds, (x, i) ->"
+            " transform(slice(ds, i + 2, size(ds) - i - 1),"
+            " y -> struct(x.doc_id AS a, y.doc_id AS b,"
+            " x.sz AS sz_a, y.sz AS sz_b))))"
         )
-        capped = sh.join(F.broadcast(keep), "shingle")
-        ca = capped.select(F.col("doc_id").alias("a"), "shingle")
-        cb = capped.select(F.col("doc_id").alias("b"), "shingle")
+        # candidates from sub-cap shingles only (bounds the inverted-index
+        # fanout; the posting-list array is bounded by max_df by
+        # construction), then the EXACT intersection recomputed over full
+        # sets for just those pairs
         cand = (
-            ca.join(cb, "shingle")
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b")
+            sh.groupBy("shingle").agg(posting.alias("ds"))
+            .where((F.size("ds") > 1) & (F.size("ds") <= max_df))
+            .select(F.explode(F.expr(_pair_expand)).alias("p"))
+            .select("p.a", "p.b", "p.sz_a", "p.sz_b")
             .distinct()
         )
+        a = sh.select(F.col("doc_id").alias("a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("b"), "shingle")
         common = (
             cand.join(a, "a")
             .join(b, ["b", "shingle"])
-            .groupBy("a", "b")
+            .groupBy("a", "b", "sz_a", "sz_b")
             .agg(F.count(F.lit(1)).alias("common"))
         )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
     return (
-        common.join(sa, "a").join(sb, "b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("common")
@@ -328,25 +392,24 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     toks = F.expr(
         f"regexp_extract_all(lower({text_col}), '{SQL_TOKEN_PATTERN}', 0)"
     )
-    # count token instances per doc (so per-bit sums are count-weighted)
-    # and hash the token INLINE on that distinct-(doc, token) stream: a
-    # (token, h) dim table is the corpus vocabulary — unboundedly growing,
-    # so at 100 TB neither broadcastable nor worth a shuffle join when the
-    # hash is one md5 per row of codegen
-    t = (
-        docs.select("doc_id", F.explode(toks).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "h",
-            F.expr("cast(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"),
-        )
+    # hash each token INSTANCE inline and sum +-1 per bit in ONE
+    # groupBy(doc_id): summing +-1 over instances equals count-weighting
+    # distinct (doc, token) rows, so the former two-level
+    # groupBy(doc_id, token) -> groupBy(doc_id) shape (which shuffled the
+    # near-distinct token stream on a key the doc rollup then re-shuffled)
+    # collapses to a single exchange of ~1 partially-aggregated row per
+    # doc (guide §2.3: aggregate before you shuffle / §2.4).  A (token, h)
+    # dim table is still wrong at 100 TB — the corpus vocabulary grows
+    # unboundedly — and one md5 per instance is pure codegen.
+    t = docs.select("doc_id", F.explode(toks).alias("token")).withColumn(
+        "h",
+        F.expr("cast(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"),
     )
     bit_sums = t.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h >> {b}) & 1") == 1, F.col("cnt"))
-                .otherwise(-F.col("cnt"))
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1))
+                .otherwise(F.lit(-1))
             ).alias(f"b{b}")
             for b in range(bits)
         ]
@@ -434,7 +497,9 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     (for cos >= 0.95 with 8 planes x 4 tables, expected pair recall ~0.9;
     raise n_tables for higher recall).  Scoring is one numpy pass per Arrow
     batch (similarity.cosine_pandas)."""
-    from .similarity import cosine_pandas, lsh_candidates
+    from pyspark.sql.types import DoubleType
+
+    from .similarity import _cos_pd_fn, lsh_candidates
 
     cand = lsh_candidates(embeddings, n_planes, n_tables, seed,
                           id_col, vec_col, max_bucket=max_bucket)
@@ -442,9 +507,16 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                            F.col(vec_col).alias("va"))
     vb = embeddings.select(F.col(id_col).alias("b"),
                            F.col(vec_col).alias("vb"))
+    # nondeterministic marking (guide §4.4): the threshold filter sits on
+    # the UDF output, and the optimizer otherwise pushes it below the
+    # projection and evaluates the cosine UDF TWICE (two ArrowEvalPython
+    # nodes in the r06 before-plan).  The value is deterministic; the flag
+    # only stops the optimizer from duplicating the expensive expression.
+    cos_udf = F.pandas_udf(_cos_pd_fn, returnType=DoubleType()) \
+        .asNondeterministic()
     return (
         cand.join(va, "a").join(vb, "b")
-        .withColumn("cos", F.round(cosine_pandas("va", "vb"), 6))
+        .withColumn("cos", F.round(cos_udf(F.col("va"), F.col("vb")), 6))
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )

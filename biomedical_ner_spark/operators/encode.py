@@ -55,19 +55,35 @@ def encode_corpus_arrow(docs: DataFrame, word_vocab: dict[str, int],
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # columnar accumulation: pd.DataFrame from per-column lists
+            # skips the row-tuple -> block transpose pandas pays for a
+            # list-of-tuples constructor (guide §4.2 — keep the Python
+            # side of the crossing vectorizable)
+            c_did: list = []
+            c_pos: list = []
+            c_tok: list = []
+            c_wid: list = []
+            c_cid: list = []
             for did, raw in zip(pdf[id_col], pdf[text_col]):
                 toks = tokenize_text(raw or "")
                 toks, wids, cseqs, _ = encode_tokens(
                     toks, word_vocab, char_vocab,
                     MAX_SEQ_LEN, MAX_CHAR_LEN, ascii_digits=True)
-                for p, (tok, wid, cids) in enumerate(
-                        zip(toks, wids, cseqs)):
-                    rows.append((did, p, tok, wid, cids))
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "pos", "token", "word_id", "char_ids"],
-            )
+                c_did.extend([did] * len(toks))
+                c_pos.extend(range(len(toks)))
+                c_tok.extend(toks)
+                c_wid.extend(wids)
+                c_cid.extend(cseqs)
+            # explicit dtypes: a plain dict constructor lets pandas coerce
+            # an empty (or rectangular) char_ids column into a float64 /
+            # 2-D ndarray, which Arrow cannot convert to list<int>
+            yield pd.DataFrame({
+                "doc_id": pd.Series(c_did, dtype="int64"),
+                "pos": pd.Series(c_pos, dtype="int64"),
+                "token": pd.Series(c_tok, dtype=object),
+                "word_id": pd.Series(c_wid, dtype="int64"),
+                "char_ids": pd.Series(c_cid, dtype=object),
+            })
 
     return docs.select(id_col, text_col).mapInPandas(
         _run, schema=ENCODED_SCHEMA)
@@ -82,11 +98,19 @@ def tokenize_corpus_arrow(docs: DataFrame, text_col: str = "text",
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            c_did: list = []
+            c_pos: list = []
+            c_tok: list = []
             for did, raw in zip(pdf[id_col], pdf[text_col]):
                 toks = tokenize_text(raw or "")[:MAX_SEQ_LEN]
-                rows += [(did, p, t) for p, t in enumerate(toks)]
-            yield pd.DataFrame(rows, columns=["doc_id", "pos", "token"])
+                c_did.extend([did] * len(toks))
+                c_pos.extend(range(len(toks)))
+                c_tok.extend(toks)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(c_did, dtype="int64"),
+                "pos": pd.Series(c_pos, dtype="int64"),
+                "token": pd.Series(c_tok, dtype=object),
+            })
 
     return docs.select(id_col, text_col).mapInPandas(
         _tok, schema="doc_id BIGINT, pos BIGINT, token STRING")

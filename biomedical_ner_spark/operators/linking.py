@@ -105,10 +105,22 @@ def link_mentions(mentions_df: DataFrame, spark: SparkSession,
     aliases = alias_dim(spark)
     alias_rows, idf = link_artifacts()
     alias_vecs = {a: _seeded_vec(a) for a, _, _, _ in alias_rows}
+    # alias-side TF-IDF weight vectors precomputed ONCE on the driver (the
+    # alias dim is vocabulary-bounded): the scorer previously rebuilt the
+    # alias ngram dict + norm per candidate ROW (guide §4.5 — hoist
+    # per-row invariants); construction order is unchanged so the float
+    # sums are bit-identical.
+    alias_ngw: dict[str, tuple[dict[str, float], float]] = {}
+    for a, _, _, _ in alias_rows:
+        wb: dict[str, float] = {}
+        for g in _char_ngrams(a):
+            wb[g] = wb.get(g, 0.0) + idf.get(g, 1.0)
+        alias_ngw[a] = (wb, math.sqrt(sum(w * w for w in wb.values())))
 
     sc = spark.sparkContext
     b_idf = sc.broadcast(idf)
     b_vecs = sc.broadcast(alias_vecs)
+    b_ngw = sc.broadcast(alias_ngw)
 
     m = mentions_df.withColumn("_surface", F.lower(F.col(text_col)))
     surfaces = m.select("_surface", "type").distinct()
@@ -125,15 +137,27 @@ def link_mentions(mentions_df: DataFrame, spark: SparkSession,
                mention_type: pd.Series, weight: pd.Series) -> pd.Series:
         idf_d = b_idf.value
         vecs = b_vecs.value
+        ngw = b_ngw.value
         out = np.zeros(len(surface), dtype=np.float64)
-        sv_cache: dict = {}  # surfaces repeat per candidate fanout: one
-        for i, (s, a, at, mt, w) in enumerate(  # seeded vec per surface
+        sv_cache: dict = {}   # surfaces repeat per candidate fanout: one
+        wa_cache: dict = {}   # seeded vec + one ngram dict per surface
+        for i, (s, a, at, mt, w) in enumerate(
             zip(surface, alias, alias_type, mention_type, weight)
         ):
             if a is None or w is None:
                 out[i] = 0.0
                 continue
-            tf = _tfidf_cosine(s, a, idf_d)
+            cached = wa_cache.get(s)
+            if cached is None:
+                wa: dict[str, float] = {}
+                for g in _char_ngrams(s):
+                    wa[g] = wa.get(g, 0.0) + idf_d.get(g, 1.0)
+                na = math.sqrt(sum(x * x for x in wa.values()))
+                cached = wa_cache[s] = (wa, na)
+            wa, na = cached
+            wb, nb = ngw[a]
+            dot = sum(x * wb.get(g, 0.0) for g, x in wa.items())
+            tf = dot / (na * nb + 1e-12)
             av = vecs.get(a)
             sv = sv_cache.get(s)
             if sv is None:

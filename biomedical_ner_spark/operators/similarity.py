@@ -155,12 +155,18 @@ def md5_planes(seed: int, n_tables: int, n_planes: int,
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
                        n_tables: int = 4, seed: int = 42,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       dim: int | None = None) -> DataFrame:
     """(id, table, bucket): sign-bit LSH over md5-derived hyperplanes; ALL
     tables' buckets for a batch come out of n_tables numpy matmuls inside one
-    mapInPandas pass — not planes*tables interpreted HOF folds per row."""
-    first = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = int(first.d) if first else 0
+    mapInPandas pass — not planes*tables interpreted HOF folds per row.
+
+    ``dim``: pass the vector dimension when known to skip the driver-side
+    first() probe job (callers bucketing two slices of one corpus need it
+    once, not per call)."""
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(first.d) if first else 0
     planes = md5_planes(seed, n_tables, n_planes, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
@@ -357,9 +363,20 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 100,
     train_iters > 0 refines the quantizer with spherical k-means
     (train_kmeans_centroids) — deterministic too, but the oracle replays
     only the sampled config."""
-    cents = (train_kmeans_centroids(
-        embeddings, n_centroids, train_iters, id_col, vec_col)
-        if train_iters > 0 else None)
+    if train_iters > 0:
+        cents = train_kmeans_centroids(
+            embeddings, n_centroids, train_iters, id_col, vec_col)
+    else:
+        # collect the sampled centroids ONCE and hand the list to both
+        # _centroid_ranks calls (assignment + probing); the former
+        # centroids=None path re-collected the same 16 rows in a second
+        # driver job per call
+        cents = [
+            (int(r["cid"]), list(r["cv"])) for r in
+            embeddings.where(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .collect()
+        ]
     assign = ivf_assignments(embeddings, n_centroids, id_col, vec_col,
                              centroids=cents)
     vecs = embeddings.select(F.col(id_col).alias("id"),
@@ -393,14 +410,23 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 100,
              n_planes: int = 8, n_tables: int = 4, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: score only pairs sharing an LSH bucket."""
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(first.d) if first else 0
     buckets = hyperplane_buckets(
-        embeddings, n_planes, n_tables, seed, id_col, vec_col
+        embeddings, n_planes, n_tables, seed, id_col, vec_col, dim=dim
     )
     vecs = embeddings.select(F.col(id_col).alias("id"),
                              F.col(vec_col).alias("v"))
-    qb = buckets.where(F.col("id") < n_queries).select(
-        "table", "bucket", F.col("id").alias("q")
-    )
+    # query-side buckets from a PRE-filtered frame: a filter above the
+    # opaque mapInPandas cannot be pushed into it, so the former
+    # buckets.where(id < n_queries) re-ran the Python bucketing pass over
+    # the ENTIRE corpus just to keep n_queries rows (guide §4.1: pass
+    # only what the function needs).  Bucketing is per-row deterministic,
+    # so the filtered recompute is value-identical.
+    qb = hyperplane_buckets(
+        embeddings.where(F.col(id_col) < n_queries),
+        n_planes, n_tables, seed, id_col, vec_col, dim=dim,
+    ).select("table", "bucket", F.col("id").alias("q"))
     cb = buckets.select("table", "bucket", F.col("id").alias("c"))
     cand = (
         qb.join(cb, ["table", "bucket"])

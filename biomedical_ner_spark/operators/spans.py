@@ -233,10 +233,18 @@ def mentions(docs: DataFrame, text_col: str = "text",
         Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    numbered = tok.withColumn("span_id", F.sum("is_start").over(w))
+    # O rows are dropped BEFORE the exchange/window, not after: is_start
+    # is 0 on every O row, so the running sum evaluated at the surviving
+    # non-O rows is unchanged, and the doc_id exchange + window sort carry
+    # only entity tokens (guide §2.3: shuffle fewer bytes).  span_id > 0
+    # then holds by construction (every non-O run begins with a start).
+    numbered = (
+        tok.filter(F.col("tag") != "O")
+        .withColumn("span_id", F.sum("is_start").over(w))
+    )
     other_keys = [c for c in keep_cols if c != "doc_id"]
     return (
-        numbered.filter((F.col("tag") != "O") & (F.col("span_id") > 0))
+        numbered.filter(F.col("span_id") > 0)
         .groupBy("doc_id", "span_id")
         .agg(
             *[F.first(c).alias(c) for c in other_keys],

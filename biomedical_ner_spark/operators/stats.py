@@ -24,6 +24,40 @@ def entity_type_counts(mentions_df: DataFrame) -> DataFrame:
     )
 
 
+def entity_type_counts_from_docs(docs: DataFrame,
+                                 text_col: str = "text") -> DataFrame:
+    """A4 computed WITHOUT materializing mention rows: every mention
+    corresponds to exactly one span-START token (the same is_start rule
+    spans.mentions feeds its running-sum window), and the mention's type
+    is that token's tag type — so the histogram is explode(start types) +
+    one partially-aggregated groupBy.  Removes the doc_id exchange +
+    window + per-span groupBy of the full token stream that the
+    mentions-then-count formulation pays (guide §2.4); the exchange here
+    carries ~|types| rows per task after map-side combine.
+
+    Exactly equivalent to entity_type_counts(spans.mentions(docs)):
+    mention groups (doc_id, span_id) are in bijection with is_start
+    tokens, and substr(elems[0].tag, 3) IS the start token's type
+    (asserted by tests against the window path)."""
+    from .spans import doc_tags
+
+    d = doc_tags(docs, text_col)
+    starts = d.select(F.explode(F.expr(
+        "filter(transform(tags, (t, i) -> CASE"
+        "  WHEN t = 'O' THEN NULL"
+        "  WHEN substr(t, 1, 2) = 'B-' THEN substr(t, 3)"
+        "  WHEN i = 0 THEN substr(t, 3)"
+        "  WHEN tags[i-1] = 'O' THEN substr(t, 3)"
+        "  WHEN substr(tags[i-1], 3) != substr(t, 3) THEN substr(t, 3)"
+        "  ELSE NULL END), x -> x IS NOT NULL)")).alias("type"))
+    return (
+        starts
+        .select(F.expr(entity_name_case_sql("type")).alias("entity_type"))
+        .groupBy("entity_type")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+    )
+
+
 def tag_distribution(tags_df: DataFrame) -> DataFrame:
     """A5 — histogram of non-O tags over all tokens (app.py:857-860)."""
     return (
@@ -133,6 +167,40 @@ def corpus_stats(tags_df: DataFrame, group_col: str = "lang") -> DataFrame:
         F.sum(F.when(F.col("tag").startswith("I-"), 1).otherwise(0)).alias("i"),
         F.sum(F.when(F.col("tag") == "O", 1).otherwise(0)).alias("o"),
     )
+    return _corpus_rollup(per_doc, group_col)
+
+
+def corpus_stats_from_docs(docs: DataFrame, group_col: str = "lang",
+                           text_col: str = "text") -> DataFrame:
+    """A8 with the per-doc counts computed ARRAY-SIDE (size/filter over
+    the per-doc tag array) instead of exploding the token stream and
+    shuffling it by (split, doc_id): the exchange feeding the rollup
+    carries ONE narrow row per document, not one per token (guide §2.3
+    aggregate-before-shuffle; the explode+groupBy shape shipped the
+    ~50x-larger token stream to arrive at the identical per-doc counts).
+    Zero-token documents produce no exploded rows in the tags_df form, so
+    they are filtered here too — identical group membership."""
+    from .spans import doc_tags
+
+    d = doc_tags(docs, text_col)
+    per_doc = d.where(F.size("tokens") > 0).select(
+        group_col, "doc_id",
+        F.size("tokens").cast("bigint").alias("toks"),
+        F.expr("size(filter(tags, t -> t != 'O'))").cast("bigint")
+        .alias("ents"),
+        F.expr("size(filter(tags, t -> substr(t, 1, 2) = 'B-'))")
+        .cast("bigint").alias("b"),
+        F.expr("size(filter(tags, t -> substr(t, 1, 2) = 'I-'))")
+        .cast("bigint").alias("i"),
+        F.expr("size(filter(tags, t -> t = 'O'))").cast("bigint")
+        .alias("o"),
+    )
+    return _corpus_rollup(per_doc, group_col)
+
+
+def _corpus_rollup(per_doc: DataFrame, group_col: str) -> DataFrame:
+    """Tiny per-split rollup shared by the explode and array-side A8
+    forms; exact medians run over the per-doc frame (one value/doc)."""
     n_docs = F.count(F.lit(1))
     zero = F.sum(F.when(F.col("ents") == 0, 1).otherwise(0))
     return per_doc.groupBy(F.col(group_col).alias("split")).agg(

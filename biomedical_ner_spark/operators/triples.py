@@ -48,7 +48,14 @@ def cooc_pairs(mentions_df: DataFrame, scope_cols: list[str] | None = None,
     row_number window costs no extra exchange here: it partitions on the
     same scope key the self-join shuffles on, and its sort order is a
     superset of the join's, so the join reuses both.  None = uncapped
-    (exact/oracle configuration)."""
+    (exact/oracle configuration).
+
+    The DEFAULT cap is sized for DOC-granular scopes (it never binds on
+    MAX_SEQ_LEN-truncated documents).  A caller passing a COARSER
+    scope_cols (e.g. repo-level) inherits the same default and will shed
+    pairs past the first DEFAULT_MAX_MENTIONS_PER_SCOPE mentions per
+    scope even on truncated input — pass an explicit cap (or None) when
+    scope_cols is not doc-granular (ADVICE r5)."""
     scope_cols = scope_cols or ["doc_id"]
     if max_mentions_per_scope is not None:
         w = Window.partitionBy(*scope_cols).orderBy(

@@ -61,7 +61,14 @@ def _dyn_overwrite(df: DataFrame, path: str,
     # files_per_bucket): an expression-only repartition lets AQE coalesce
     # the shuffle read back down when partitions are small, silently
     # undoing the sharding.
-    if files_per_bucket > 1 and n_buckets is not None:
+    if files_per_bucket > 1 and n_buckets is None:
+        # a silent fall-through to the unsharded write would hand a caller
+        # requesting sharding neither sharding nor an error (ADVICE r5)
+        raise ValueError(
+            "files_per_bucket > 1 requires n_buckets (the explicit "
+            "partition count n_buckets * files_per_bucket keeps AQE from "
+            "coalescing the sharding away)")
+    if files_per_bucket > 1:
         clustered = df.repartition(
             n_buckets * files_per_bucket,
             F.col("bucket"),

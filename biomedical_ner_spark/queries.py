@@ -57,6 +57,22 @@ def _tags(spark: SparkSession, sf_dir: str, with_lang: bool = False) -> DataFram
     return spans.bio_tags_exploded(_docs(spark, sf_dir), keep_cols=keep)
 
 
+def _tokens_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token) — the SAME truncated token stream _tags explodes,
+    WITHOUT the tags array: Catalyst does not prune the per-token BIO
+    CASE out of bio_tags_exploded when only `token` is consumed (the
+    r06 vocab_build before-plan carries the full element_at(map(...))
+    transform), so token-only aggregates read this frame instead
+    (guide §2.3: don't compute what you throw away).  The generator is
+    the INLINE tokens expression: exploding a named array column lets
+    InferFiltersFromGenerate push a size()>0 predicate down with the
+    tokenize regex substituted into it (one extra regex pass per doc in
+    the scan filter); a non-cheap generator is skipped (SPARK-36715)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.explode(spans.tokens_array("text")).alias("token"))
+
+
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.mentions(_docs(spark, sf_dir))
 
@@ -109,7 +125,9 @@ def q_bio_spans(spark, sf_dir):
 
 
 def q_entity_type_counts(spark, sf_dir):
-    return stats.entity_type_counts(_mentions(spark, sf_dir))
+    # span-start counting twin of entity_type_counts(_mentions(...)):
+    # identical histogram, no window/mention materialization (stats.py)
+    return stats.entity_type_counts_from_docs(_docs(spark, sf_dir))
 
 
 def q_tag_distribution(spark, sf_dir):
@@ -129,13 +147,14 @@ def q_distinct_types(spark, sf_dir):
 
 
 def q_vocab_build(spark, sf_dir):
-    return stats.vocab_build(_tags(spark, sf_dir)).select(
+    # token-only lineage: the tag transform is dead weight here (_tokens_only)
+    return stats.vocab_build(_tokens_only(spark, sf_dir)).select(
         "word", "freq", F.col("id").cast("bigint").alias("id")
     )
 
 
 def q_char_inventory(spark, sf_dir):
-    return stats.char_inventory(_tags(spark, sf_dir)).select(
+    return stats.char_inventory(_tokens_only(spark, sf_dir)).select(
         "ch", F.col("id").cast("bigint").alias("id")
     )
 
@@ -147,7 +166,9 @@ def q_tag_map(spark, sf_dir):
 
 
 def q_corpus_stats(spark, sf_dir):
-    return stats.corpus_stats(_tags(spark, sf_dir, with_lang=True))
+    # array-side per-doc counts (one row/doc through the exchange instead
+    # of one row/token); identical grid — see stats.corpus_stats_from_docs
+    return stats.corpus_stats_from_docs(_docs(spark, sf_dir))
 
 
 def q_class_distribution_cube(spark, sf_dir):
@@ -155,7 +176,7 @@ def q_class_distribution_cube(spark, sf_dir):
 
 
 def q_top_words(spark, sf_dir):
-    return stats.top_words(_tags(spark, sf_dir), k=20)
+    return stats.top_words(_tokens_only(spark, sf_dir), k=20)
 
 
 def q_vocab_lookup(spark, sf_dir):
@@ -380,12 +401,14 @@ def q_encoded_tokens(spark, sf_dir):
     relational DuckDB twin (char explode + dim join + ordered re-agg)."""
     from .operators.encode import encode_corpus
 
-    # persist the tagged-token frame: BOTH dim builds (word vocab + char
-    # inventory) scan it, and without the cache the tokenize+tag lineage
+    # persist the token frame: BOTH dim builds (word vocab + char
+    # inventory) scan it, and without the cache the tokenize lineage
     # executes once per dim (the frame is token-stream-sized but its
     # aggregates materialize it during the gate's collect, so the cache is
-    # populated exactly once; Spark LRU-evicts it afterwards)
-    tags = _tags(spark, sf_dir).persist()
+    # populated exactly once; Spark LRU-evicts it afterwards).  Token-ONLY:
+    # neither dim reads tags, and Catalyst does not prune the BIO CASE
+    # out of a persisted bio_tags_exploded frame (_tokens_only).
+    tags = _tokens_only(spark, sf_dir).persist()
     # size-gated: dict closure at reference vocab sizes, dim-frame joins
     # beyond CLOSURE_VOCAB_MAX (nothing vocabulary-sized on the driver)
     enc = encode_corpus(_docs(spark, sf_dir), stats.vocab_build(tags),
@@ -468,7 +491,7 @@ def q_subword_vectors(spark, sf_dir):
     fallback sees in production.)"""
     from .sources.embeddings import subword_mean_components
 
-    toks = _tags(spark, sf_dir)
+    toks = _tokens_only(spark, sf_dir)
     words = toks.select(F.lower("token").alias("word")).distinct()
     m = subword_mean_components(words, dim=SUBW_DIM)
     return m.groupBy("word").agg(
@@ -579,18 +602,37 @@ def curate_documents(d: DataFrame) -> DataFrame:
         F.round(punct_ratio_expr(toks), 6).alias("punct_ratio"),
         F.round(stopword_ratio_expr(toks), 6).alias("stopword_ratio"),
     )
-    sha_keep = q.groupBy("sha").agg(F.min("doc_id").alias("doc_id"))
-    fp_keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # Chained keeper-row aggregations (min_by doc_id), NOT keeper-id
+    # groupBys joined back: the join shape evaluated the whole
+    # sha/fingerprint/tokenize lineage three times (each groupBy side is a
+    # separate evaluation of q — Spark does not share scans across
+    # self-join sides) and paid two joins; min_by carries the full quality
+    # row through ONE partial-aggregated, skew-safe exchange per dedup
+    # level (guide §2.3 "aggregate before you shuffle", §2.4).
+    # Equivalence of the chaining: identical text => identical normalized
+    # fingerprint, so a doc eliminated by sha-dedup always has a
+    # smaller-id fp-twin still present — the fp-minimum over sha-keepers
+    # IS the fp-minimum over all docs, and both formulations keep exactly
+    # the docs that are min of their sha group AND min of their fp group.
+    payload = F.struct("doc_id", "n_tokens", "punct_ratio",
+                       "stopword_ratio")
+    sha_kept = (
+        q.groupBy("sha")
+        .agg(F.min_by(F.struct("fp", "doc_id", "n_tokens", "punct_ratio",
+                               "stopword_ratio"), "doc_id").alias("r"))
+        .select("r.fp", "r.doc_id", "r.n_tokens", "r.punct_ratio",
+                "r.stopword_ratio")
+    )
     return (
-        q.join(sha_keep, ["sha", "doc_id"])
-        .join(fp_keep, ["fp", "doc_id"])
+        sha_kept.groupBy("fp")
+        .agg(F.min_by(payload, "doc_id").alias("r"))
         .where(
-            (F.col("n_tokens") >= 10)
-            & (F.col("punct_ratio") <= 0.3)
-            & (F.col("stopword_ratio") <= 0.6)
+            (F.col("r.n_tokens") >= 10)
+            & (F.col("r.punct_ratio") <= 0.3)
+            & (F.col("r.stopword_ratio") <= 0.6)
         )
-        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
-                F.col("fp").alias("fingerprint"))
+        .select("r.doc_id", "r.n_tokens", "r.punct_ratio",
+                "r.stopword_ratio", F.col("fp").alias("fingerprint"))
     )
 
 
@@ -1015,10 +1057,14 @@ def q_export_csv(spark, sf_dir):
 
 NEURAL_N_DOCS = 24
 
-# basenames of checkpoint archives already SparkContext.addFile'd this
-# session (SparkFiles keys by basename; re-adding the same content is
-# wasteful and re-adding a different path with the same basename errors)
-_SHIPPED_CKPTS: set[str] = set()
+# (applicationId, basename) of checkpoint archives already
+# SparkContext.addFile'd (SparkFiles keys by basename; re-adding the same
+# content is wasteful and re-adding a different path with the same
+# basename errors).  Keyed by applicationId, NOT basename alone: a
+# stopped-and-recreated SparkContext in the same Python process starts
+# with an empty SparkFiles registry, and a process-global basename cache
+# would skip the addFile the new executors need (ADVICE r5).
+_SHIPPED_CKPTS: set[tuple[str, str]] = set()
 # deterministic mixed word pool for the neural-emissions fingerprints
 # (letters, a digit token for the <NUM>-adjacent hash path, punctuation)
 _NEURAL_WORDS = (
@@ -1103,13 +1149,14 @@ def q_neural_emissions(spark, sf_dir):
     # different configuration gets a different key, never a stale hit.
     ckpt_name = f"neural_seed7_k{K}.npz"
     ckpt = f"{ckpt_dir}/{ckpt_name}"
-    if ckpt_name not in _SHIPPED_CKPTS:
+    ckpt_key = (spark.sparkContext.applicationId, ckpt_name)
+    if ckpt_key not in _SHIPPED_CKPTS:
         save_numpy_checkpoint(
             NumpyCombinatorialNER(n_tags=K, seed=7).w, ckpt)
         # ship the archive to executors (SparkFiles) — a driver-local path
         # only resolves under a local master
         spark.sparkContext.addFile(ckpt)
-        _SHIPPED_CKPTS.add(ckpt_name)
+        _SHIPPED_CKPTS.add(ckpt_key)
 
     def _run(batches):
         from pyspark import SparkFiles
@@ -1269,9 +1316,9 @@ def q_dedup_stream_batch(spark, sf_dir):
         .trigger(availableNow=True).start()
     )
     try:
-        finished = q.awaitTermination(300)
+        finished = q.awaitTermination(900)
         if not finished:
-            raise TimeoutError("streaming dedup did not drain in 300s")
+            raise TimeoutError("streaming dedup did not drain in 900s")
     finally:
         q.stop()
     return spark.table(qn).groupBy("content_sha").agg(
@@ -1456,8 +1503,8 @@ def q_stream_mentions(spark, sf_dir):
         max_files_per_trigger=1,
     )
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("mention stream did not drain in 300s")
+        if not q.awaitTermination(900):
+            raise TimeoutError("mention stream did not drain in 900s")
     finally:
         q.stop()
     m = spark.read.parquet(f"{base}/out")
