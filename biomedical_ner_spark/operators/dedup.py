@@ -101,25 +101,33 @@ def _shingle_arrays(df: DataFrame, text_col: str = "text",
     so callers needing per-doc shingle-set sizes read them as size(shs)
     with ZERO extra passes/shuffles (ngram_jaccard_pairs).
 
-    Structure note (r06): the size() FILTER between the two projections
-    is load-bearing — it blocks CollapseProject from inlining `toks` into
-    the shingle transform.  A CASE-guard variant (empty array instead of
-    the filter) let the optimizer substitute the regexp_extract_all into
-    every reference INCLUDING the per-element slice() lambda, re-running
-    the tokenize regex once per sequence element (~30x measured at sf1.0:
-    minhash 4.1 s -> 127 s).  The filter's own size(regex) evaluation
-    costs one extra regex pass per row and is the cheap side of that
-    trade."""
+    Structure notes (r06), both load-bearing:
+
+    * Short docs are guarded by slicing the window-index sequence to
+      ``greatest(size(toks) - n + 1, 0)`` elements, NOT by a
+      ``size(toks) >= n`` row filter: the filter predicate re-evaluated
+      the whole tokenize regex a second time per row (filter pushdown
+      substitutes the alias), and a CASE guard is worse still —
+      CollapseProject/pushdown substituted the regex into the
+      per-element slice() lambda, re-running it once per sequence
+      element (~30x measured at sf1.0: minhash 4.1 s -> 127 s).  The
+      sliced-sequence form keeps the plan at exactly ONE
+      regexp_extract_all (A/B: 1.93 s vs 2.28 s on shingles+minhash16 at
+      sf1.0; outputs identical — short docs yield empty arrays that
+      explode drops).
+    * `toks` must stay a multi-referenced alias in a SEPARATE projection
+      — multiple non-cheap references are what stop CollapseProject from
+      inlining the regex downstream."""
     toks = F.expr(
-        f"transform(regexp_extract_all(lower({text_col}),"
-        f" '{SQL_TOKEN_PATTERN}', 0), t -> t)"
+        f"regexp_extract_all(lower({text_col}), '{SQL_TOKEN_PATTERN}', 0)"
     )
     d = df.select("doc_id", toks.alias("toks"))
-    d = d.where(F.size("toks") >= n)
     return d.select(
         "doc_id",
         F.expr(
-            f"array_distinct(transform(sequence(0, size(toks) - {n}),"
+            f"array_distinct(transform("
+            f" slice(sequence(0, size(toks)), 1,"
+            f"       greatest(size(toks) - {n} + 1, 0)),"
             f" i -> concat_ws(' ', slice(toks, i + 1, {n}))))"
         ).alias("shs"),
     )
@@ -134,18 +142,19 @@ def _shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     whole shingle construction — tokenize regex inside the per-element
     slice() lambda included — into a scan-level filter (measured ~30x on
     minhash at sf1.0).  A non-cheap generator expression is skipped by
-    that rule (SPARK-36715)."""
+    that rule (SPARK-36715).  Short-doc guard and projection structure:
+    see _shingle_arrays."""
     toks = F.expr(
-        f"transform(regexp_extract_all(lower({text_col}),"
-        f" '{SQL_TOKEN_PATTERN}', 0), t -> t)"
+        f"regexp_extract_all(lower({text_col}), '{SQL_TOKEN_PATTERN}', 0)"
     )
     d = df.select("doc_id", toks.alias("toks"))
-    d = d.where(F.size("toks") >= n)
     return d.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"array_distinct(transform(sequence(0, size(toks) - {n}),"
+                f"array_distinct(transform("
+                f" slice(sequence(0, size(toks)), 1,"
+                f"       greatest(size(toks) - {n} + 1, 0)),"
                 f" i -> concat_ws(' ', slice(toks, i + 1, {n}))))"
             )
         ).alias("shingle"),

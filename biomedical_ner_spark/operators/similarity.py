@@ -197,18 +197,36 @@ def lsh_candidates(embeddings: DataFrame, n_planes: int = 8,
                    max_bucket: int | None = None) -> DataFrame:
     """Distinct unordered candidate pairs (a < b) sharing >=1 LSH bucket.
 
-    One groupBy + in-bucket combination expand (not a self-join, which
-    evaluates the bucket lineage twice — see dedup.lsh_candidate_pairs).
+    Uncapped (None) path: a whole-stage-codegen SELF-JOIN on
+    (table, bucket).  The bucket lineage (one cheap mapInPandas over ids
+    + vectors) is evaluated once per join side, but the pair stream —
+    sum of k^2/2 over buckets, ~180x the input rows at the design bucket
+    size corpus/2^n_planes — comes out of codegen instead of interpreted
+    in-group transform() lambdas: measured same-session at sf1.0
+    (20k vecs, 3.65M candidates) join 1.3 s vs group-expand 4.0 s.
+    (Contrast dedup.lsh_candidate_pairs, where the lineage per side is
+    the full shingle+minhash pipeline — expensive — and the pair volume
+    is comparable to the input: there the group expand wins.)
 
-    ``max_bucket`` sheds sign-buckets above the cap (a bucket of k vectors
-    expands k(k-1)/2 pair structs in one task).  Default None here because
-    expected bucket size is corpus_size / 2^n_planes BY DESIGN — size
-    n_planes to the corpus first; the scale entry point
-    (dedup.embedding_near_dups) passes a finite cap."""
+    ``max_bucket`` sheds sign-buckets above the cap; that path keeps the
+    two-level bounded group expand (arrays capped, the join would not
+    bound task memory).  Default None here because expected bucket size
+    is corpus_size / 2^n_planes BY DESIGN — size n_planes to the corpus
+    first; the scale entry point (dedup.embedding_near_dups) passes a
+    finite cap."""
     from .dedup import _bounded_groups
 
     buckets = hyperplane_buckets(
         embeddings, n_planes, n_tables, seed, id_col, vec_col)
+    if max_bucket is None:
+        qa = buckets.select(F.col("id").alias("a"), "table", "bucket")
+        qb = buckets.select(F.col("id").alias("b"), "table", "bucket")
+        return (
+            qa.join(qb, ["table", "bucket"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
     grouped = _bounded_groups(
         buckets, ["table", "bucket"], "id", max_bucket
     ).withColumnRenamed("items", "ids")

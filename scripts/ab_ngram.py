@@ -96,14 +96,37 @@ def join_ratio_form(docs, threshold=0.2, n=3):
             .select("a", "b", "jaccard"))
 
 
+def join_ratio_shj_form(docs, threshold=0.2, n=3):
+    """join_ratio with a SHUFFLE_HASH hint: per-partition build side is
+    ~20k rows at sf1.0/128 partitions, so the hash build is cheap and both
+    sort passes of the sort-merge join disappear."""
+    sh = _sized_side(docs, n)
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"),
+                  "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"),
+                  "shingle")
+    common = (a.join(b.hint("SHUFFLE_HASH"), "shingle")
+              .where((F.col("a") < F.col("b"))
+                     & (F.least("sz_a", "sz_b")
+                        >= F.greatest("sz_a", "sz_b") * F.lit(threshold)))
+              .groupBy("a", "b", "sz_a", "sz_b")
+              .agg(F.count(F.lit(1)).alias("common")))
+    return (common.withColumn("jaccard", F.round(
+                F.col("common") /
+                (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
 def main():
     spark = get_spark(app_name="ab-ngram", master=f"local[{bench.CPUS}]",
                       shuffle_partitions=max(4 * bench.CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
     sf = bench._prep_input(spark)
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    forms = [("old", old_form), ("join_sz", join_sz_form),
-             ("join_ratio", join_ratio_form)]
+    forms = [("old", old_form), ("group", group_form),
+             ("join_sz", join_sz_form), ("join_ratio", join_ratio_form),
+             ("join_ratio_shj", join_ratio_shj_form)]
     # warm codegen once per form
     for name, fn in forms:
         fn(docs.limit(500)).count()
