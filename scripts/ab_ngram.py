@@ -1,6 +1,6 @@
 """Same-session A/B of ngram_jaccard formulations (r06, guide §1).
 
-Host phases drift 1.5-2x between runs, so the three candidate physical
+Host phases drift 1.5-2x between runs, so the candidate physical
 forms are timed ROUND-ROBIN inside one session:
 
   old       — r5 shape: inverted-index self-join for common + separate
@@ -11,6 +11,9 @@ forms are timed ROUND-ROBIN inside one session:
   join_sz   — self-join on shingle with sizes carried ARRAY-SIDE on each
               side (lineage 2x, two exchanges, pair stream fully codegen,
               no sizes joins).
+  join_ratio — join_sz + the exact size-ratio prefilter (SHIPPED form).
+  join_ratio_shj — join_ratio with a SHUFFLE_HASH hint (measured worse;
+              kept for reproducibility).
 
 Usage: SPARK_GRAFT_SF_DIR=... python scripts/ab_ngram.py [rounds]
 """
