@@ -51,7 +51,24 @@ def old_form(docs, threshold=0.2, n=3):
 
 
 def group_form(docs, threshold=0.2, n=3):
-    return dedup.ngram_jaccard_pairs(docs, threshold=threshold, n=n)
+    """The rejected groupBy(shingle) + in-group expand (inlined so the
+    A/B stays reproducible now that dedup ships the join_ratio form)."""
+    sh = _sized_side(docs, n)
+    posting = F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
+    pe = ("flatten(transform(ds, (x, i) ->"
+          " transform(slice(ds, i + 2, size(ds) - i - 1),"
+          " y -> struct(x.doc_id AS a, y.doc_id AS b,"
+          " x.sz AS sz_a, y.sz AS sz_b))))")
+    common = (sh.groupBy("shingle").agg(posting.alias("ds"))
+              .where(F.size("ds") > 1)
+              .select(F.explode(F.expr(pe)).alias("p"))
+              .groupBy("p.a", "p.b", "p.sz_a", "p.sz_b")
+              .agg(F.count(F.lit(1)).alias("common")))
+    return (common.withColumn("jaccard", F.round(
+                F.col("common") /
+                (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
 
 
 def _sized_side(docs, n):
