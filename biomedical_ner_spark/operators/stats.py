@@ -13,6 +13,23 @@ from pyspark.sql import functions as F
 from ..lexicon import entity_name_case_sql
 from .splits import _bucketed_rank
 
+# Same driver-closure posture as encode.CLOSURE_VOCAB_MAX: below this many
+# dim rows the dense-id rank is assigned on the driver from ONE collected
+# aggregation; above it the two-pass bucket-offset rank takes over (the
+# offsets job re-evaluates the count lineage, but nothing vocabulary-sized
+# ever reaches the driver).  The engine already collects the vocab at this
+# size for the encode closure, so the gate adds no new driver exposure.
+DRIVER_RANK_MAX = 2_000_000
+
+
+def _driver_ranked_ids(spark, rows, sort_key, schema, id_from: int):
+    """Dense ids for a collected, bounded dim: sort driver-side (Python
+    tuple sort == Spark UTF8 binary order for strings — UTF-8 is
+    code-point order-preserving) and return a local DataFrame."""
+    ordered = sorted(rows, key=sort_key)
+    return spark.createDataFrame(
+        [(*r, i + id_from) for i, r in enumerate(ordered)], schema)
+
 
 def entity_type_counts(mentions_df: DataFrame) -> DataFrame:
     """A4 — flagship: entities per friendly type name (app.py:851-854)."""
@@ -112,6 +129,19 @@ def vocab_build(tokens_df: DataFrame, min_freq: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_freq)
     )
+    # size-gated rank (r06): the bucket-offset path evaluates the count
+    # lineage twice (offsets job + ranked job — recomputation is its
+    # no-persist contract).  Below the driver-closure gate the single
+    # capped collect both decides the gate and supplies the rows, so the
+    # token stream is aggregated exactly once; ids are identical by the
+    # same (freq desc, word asc) order.
+    head = counted.limit(DRIVER_RANK_MAX + 1).collect()
+    if len(head) <= DRIVER_RANK_MAX:
+        return _driver_ranked_ids(
+            tokens_df.sparkSession,
+            [(r["word"], r["freq"]) for r in head],
+            lambda r: (-r[1], r[0]),
+            "word STRING, freq BIGINT, id INT", id_from=3)
     bucket = F.concat(
         F.lpad(F.hex(F.lit(2 ** 62) - F.col("freq")), 16, "0"),
         F.substring("word", 1, 1),
@@ -130,8 +160,13 @@ def char_inventory(tokens_df: DataFrame) -> DataFrame:
         .filter(F.col("ch") != "")
         .distinct()
     )
-    # universe is bounded (alphabet) but the same bucket-offset rank keeps
-    # every plan free of partition-less windows; bucket = the char itself
+    # universe is bounded (alphabet): one collect instead of the two-pass
+    # rank's double evaluation of the distinct over the token stream
+    head = chars.limit(DRIVER_RANK_MAX + 1).collect()
+    if len(head) <= DRIVER_RANK_MAX:
+        return _driver_ranked_ids(
+            tokens_df.sparkSession, [(r["ch"],) for r in head],
+            lambda r: r[0], "ch STRING, id INT", id_from=2)
     ranked, _ = _bucketed_rank(chars, F.col("ch"), [F.col("ch")])
     return ranked.withColumn("id", (F.col("_rn") + F.lit(1)).cast("int")) \
         .drop("_rn")
@@ -141,6 +176,11 @@ def tag_map(tags_df: DataFrame) -> DataFrame:
     """A3 — distinct tags sorted, ids from 1 after <PAD>=0
     (utils/creation_vocabulaire.py:169-174)."""
     tags = tags_df.select("tag").distinct()
+    head = tags.limit(DRIVER_RANK_MAX + 1).collect()
+    if len(head) <= DRIVER_RANK_MAX:
+        return _driver_ranked_ids(
+            tags_df.sparkSession, [(r["tag"],) for r in head],
+            lambda r: r[0], "tag STRING, id INT", id_from=1)
     ranked, _ = _bucketed_rank(tags, F.col("tag"), [F.col("tag")])
     return ranked.withColumn("id", F.col("_rn").cast("int")).drop("_rn")
 
